@@ -1,0 +1,140 @@
+"""Fused DeMoN inference: bootstrap -> scan(iterative) -> refinement in ONE
+jitted XLA program.
+
+The reference runs 5 separate session.run calls per pair with host round
+trips between them (examples/example.py:87-99). Here the whole pipeline is
+a single program: the iterative recurrence is a lax.scan over shared
+weights, so XLA pipelines the convs and the geometry ops without ever
+leaving the device, and batching across pairs is free.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import (
+    BootstrapNet,
+    IterativeNet,
+    RefinementNet,
+    DemonPrediction,
+    DEMON_INTRINSICS,
+)
+
+
+class DemonOutput(NamedTuple):
+    """Final outputs plus the per-iteration trajectory of predictions."""
+
+    prediction: DemonPrediction      # final iteration (level-2 resolution)
+    depth_refined: jax.Array         # [B, H, W, 1] full-resolution inverse depth
+    normal_refined: Optional[jax.Array]  # v2 only
+    history: DemonPrediction         # stacked [iterations+1, ...] incl. bootstrap
+
+
+class DemonEngine:
+    """Builds, initializes and runs the three-network DeMoN stack.
+
+    Usage:
+        engine = DemonEngine(variant="v1", iterations=3)
+        params = engine.init(jax.random.key(0))
+        out = engine.predict(params, image_pair, image2_2)  # jitted
+    """
+
+    # fixed operating resolution of the reference nets
+    HEIGHT, WIDTH = 192, 256
+
+    def __init__(self, variant: str = "v1", iterations: int = 3,
+                 dtype=jnp.float32):
+        self.variant = variant
+        self.iterations = iterations
+        self.dtype = dtype
+        self.bootstrap = BootstrapNet(variant=variant, dtype=dtype)
+        self.iterative = IterativeNet(variant=variant, dtype=dtype)
+        self.refinement = RefinementNet(variant=variant, dtype=dtype)
+        self._jit_predict = jax.jit(self._predict)
+
+    # ------------------------------------------------------------------
+    def init(self, rng, batch_size: int = 1) -> Dict[str, Any]:
+        """Initialize all three parameter trees."""
+        H, W = self.HEIGHT, self.WIDTH
+        image_pair = jnp.zeros((batch_size, H, W, 6), jnp.float32)
+        image2_2 = jnp.zeros((batch_size, H // 4, W // 4, 3), jnp.float32)
+        intrinsics = jnp.broadcast_to(jnp.asarray(DEMON_INTRINSICS),
+                                      (batch_size, 4))
+        k1, k2, k3 = jax.random.split(rng, 3)
+        boot = self.bootstrap.init(k1, image_pair, image2_2)
+        prev = self.bootstrap.apply(boot, image_pair, image2_2)
+        iter_ = self.iterative.init(k2, image_pair, image2_2, intrinsics, prev)
+        refine = self.refinement.init(
+            k3, image_pair[..., :3], prev.depth2
+        )
+        return {"bootstrap": boot, "iterative": iter_, "refinement": refine}
+
+    # ------------------------------------------------------------------
+    def _predict(self, params, image_pair, image2_2, intrinsics) -> DemonOutput:
+        boot_pred = self.bootstrap.apply(params["bootstrap"], image_pair, image2_2)
+
+        def step(prev: DemonPrediction, _):
+            pred = self.iterative.apply(
+                params["iterative"], image_pair, image2_2, intrinsics, prev
+            )
+            return pred, pred
+
+        final, iter_preds = jax.lax.scan(
+            step, boot_pred, None, length=self.iterations
+        )
+        history = jax.tree.map(
+            lambda b, it: jnp.concatenate([b[None], it], axis=0),
+            boot_pred, iter_preds,
+        )
+        refine_out = self.refinement.apply(
+            params["refinement"], image_pair[..., :3], final.depth2
+        )
+        return DemonOutput(
+            prediction=final,
+            depth_refined=refine_out["predict_depth0"],
+            normal_refined=refine_out.get("predict_normal0"),
+            history=history,
+        )
+
+    def predict(self, params, image_pair, image2_2,
+                intrinsics: Optional[jax.Array] = None) -> DemonOutput:
+        """Jitted full forward pass. image_pair: [B,192,256,6] in [-0.5,0.5],
+        image2_2: [B,48,64,3]."""
+        if intrinsics is None:
+            intrinsics = jnp.broadcast_to(
+                jnp.asarray(DEMON_INTRINSICS), (image_pair.shape[0], 4)
+            )
+        return self._jit_predict(params, image_pair, image2_2, intrinsics)
+
+
+def prepare_input_pair(img1: np.ndarray, img2: np.ndarray) -> Dict[str, np.ndarray]:
+    """Pack two uint8 RGB images into network inputs (NHWC).
+
+    Mirrors the reference's prepare_input_data (examples/example.py:15-42):
+    resize to 256x192, map [0,255] -> [-0.5, 0.5], build the 6-channel
+    pair plus the 4x-downsampled second image.
+    """
+    from PIL import Image
+
+    def _resize(a, w, h):
+        return np.asarray(Image.fromarray(a).resize((w, h), Image.BILINEAR))
+
+    H, W = DemonEngine.HEIGHT, DemonEngine.WIDTH
+    if img1.shape[:2] != (H, W):
+        img1 = _resize(img1, W, H)
+    if img2.shape[:2] != (H, W):
+        img2 = _resize(img2, W, H)
+    img2_2 = _resize(img2, W // 4, H // 4)
+
+    to_f = lambda a: a.astype(np.float32) / 255.0 - 0.5
+    image_pair = np.concatenate([to_f(img1), to_f(img2)], axis=-1)[None]
+    return {
+        "image_pair": image_pair,
+        "image1": to_f(img1)[None],
+        "image2_2": to_f(img2_2)[None],
+    }

@@ -1,0 +1,58 @@
+"""Mesh and sharding utilities — the TPU-native replacement for the
+reference's single-host multi-GPU tower loop (training/v2/training.py:137-161,
+which splits the batch in Python and averages gradients on the host).
+
+Here parallelism is declarative: build a Mesh, annotate batch-dim shardings
+with NamedSharding, and jit — XLA inserts the all-reduces over ICI/DCN.
+DeMoN is a ~45M-param ConvNet, so pure data parallelism is the right
+layout; the mesh still carries a 'model' axis for the BA/pose-graph
+extensions and for oversized batches per chip.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = ("data", "model"),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Create a device mesh. Default: all devices on the 'data' axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(f"mesh shape {shape} != {len(devices)} devices")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def data_parallel_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
+    """Sharding that splits dim 0 (batch) across `axis`, replicating the rest."""
+    spec = P(axis, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_pytree(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Device_put a pytree of batch-major arrays with batch-dim sharding."""
+
+    def _put(x):
+        x = np.asarray(x) if not isinstance(x, jax.Array) else x
+        return jax.device_put(x, data_parallel_sharding(mesh, x.ndim, axis))
+
+    return jax.tree.map(_put, tree)
+
+
+def replicate_pytree(tree: Any, mesh: Mesh) -> Any:
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

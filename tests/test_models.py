@@ -1,0 +1,120 @@
+"""Model block shape/semantics tests for both variants.
+
+Uses a reduced input resolution (96x128) to keep CPU test time sane; all
+spatial relations (level 2 = /4, level 5 = /32) are resolution-independent.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from demon_tpu.models import BootstrapNet, IterativeNet, RefinementNet
+from demon_tpu.models.networks import DEMON_INTRINSICS
+
+H, W = 96, 128
+B = 1
+
+
+def _inputs(rng):
+    image_pair = jnp.asarray(rng.rand(B, H, W, 6).astype(np.float32) - 0.5)
+    image2_2 = jnp.asarray(rng.rand(B, H // 4, W // 4, 3).astype(np.float32) - 0.5)
+    intr = jnp.broadcast_to(jnp.asarray(DEMON_INTRINSICS), (B, 4))
+    return image_pair, image2_2, intr
+
+
+@pytest.mark.parametrize("variant", ["v1", "v2"])
+def test_full_stack_shapes(rng, variant):
+    image_pair, image2_2, intr = _inputs(rng)
+    key = jax.random.key(0)
+
+    boot = BootstrapNet(variant=variant)
+    bparams = boot.init(key, image_pair, image2_2)
+    pred = boot.apply(bparams, image_pair, image2_2)
+
+    assert pred.flow2.shape == (B, H // 4, W // 4, 2)
+    assert pred.conf2.shape == (B, H // 4, W // 4, 2)
+    assert pred.flow5.shape == (B, H // 32, W // 32, 2)
+    assert pred.depth2.shape == (B, H // 4, W // 4, 1)
+    assert pred.normal2.shape == (B, H // 4, W // 4, 3)
+    assert pred.rotation.shape == (B, 3)
+    assert pred.translation.shape == (B, 3)
+    assert pred.scale.shape == (B, 1)
+
+    it = IterativeNet(variant=variant)
+    iparams = it.init(key, image_pair, image2_2, intr, pred)
+    pred2 = it.apply(iparams, image_pair, image2_2, intr, pred)
+    assert pred2.depth2.shape == pred.depth2.shape
+    assert np.isfinite(np.asarray(pred2.depth2)).all()
+
+    ref = RefinementNet(variant=variant)
+    rparams = ref.init(key, image_pair[..., :3], pred2.depth2)
+    rout = ref.apply(rparams, image_pair[..., :3], pred2.depth2)
+    assert rout["predict_depth0"].shape == (B, H, W, 1)
+    if variant == "v2":
+        assert rout["predict_normal0"].shape == (B, H, W, 3)
+    else:
+        assert "predict_normal0" not in rout
+
+    # all outputs finite
+    for leaf in jax.tree.leaves(pred._asdict()):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_v1_param_names_match_reference_manifest(rng):
+    """The de-facto weight manifest is the TF variable scope naming
+    (reference networks_original.py:44-57, example.py:82-83). Check the key
+    layer names exist so the checkpoint converter has a stable target."""
+    image_pair, image2_2, intr = _inputs(rng)
+    boot = BootstrapNet(variant="v1")
+    params = boot.init(jax.random.key(0), image_pair, image2_2)["params"]
+
+    flow = params["netFlow1"]
+    for name in ["conv1y", "conv1x", "conv2y", "conv2_1y", "conv5_1x"]:
+        assert name in flow, sorted(flow.keys())
+    assert "conv1" in flow["predict_flow5"]
+    assert "upconv" in flow["upsample_flow5to4"]
+    assert "upconv" in flow["refine4"]
+
+    dm = params["netDM1"]
+    for name in ["motion_fc1", "motion_fc2", "motion_fc3", "motion_conv1",
+                 "conv2_extra_inputs" + "y"]:
+        assert name in dm, sorted(dm.keys())
+    assert "conv1" in dm["predict_depthnormal2"]
+
+
+def test_v1_caffe_conv_channels(rng):
+    """v1 uses uniform channel counts in the factored pairs; v2 uses
+    (smaller, larger) tuples (blocks_original.py:141 vs v2/blocks.py:140)."""
+    image_pair, image2_2, _ = _inputs(rng)
+    p1 = BootstrapNet(variant="v1").init(jax.random.key(0), image_pair, image2_2)
+    p2 = BootstrapNet(variant="v2").init(jax.random.key(0), image_pair, image2_2)
+    k1 = p1["params"]["netFlow1"]["conv1y"]["kernel"]
+    k2 = p2["params"]["netFlow1"]["conv1y"]["kernel"]
+    assert k1.shape == (9, 1, 6, 32)
+    assert k2.shape == (9, 1, 6, 24)
+    # v2 has the dense bottleneck, v1 does not
+    assert "dense5" in p2["params"]["netFlow1"]
+    assert "dense5" not in p1["params"]["netFlow1"]
+
+
+def test_caffe_padding_differs_from_same(rng):
+    """Caffe pad-then-VALID vs SAME differ by a one-pixel shift for stride-2
+    odd kernels — the load-bearing detail for v1 weight parity."""
+    from demon_tpu.models.layers import convrelu2
+    import flax.linen as nn
+
+    class M(nn.Module):
+        pad_mode: str
+
+        @nn.compact
+        def __call__(self, x):
+            return convrelu2(x, 4, 7, name="c", stride=2, pad_mode=self.pad_mode)
+
+    x = jnp.asarray(rng.rand(1, 16, 16, 2).astype(np.float32))
+    m1, m2 = M("caffe"), M("same")
+    p = m1.init(jax.random.key(0), x)
+    a = m1.apply(p, x)
+    b = m2.apply(p, x)
+    assert a.shape == b.shape == (1, 8, 8, 4)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
