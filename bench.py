@@ -1,0 +1,65 @@
+"""Headline benchmark: image pairs/s/chip for the full DeMoN pipeline
+(bootstrap + 3x iterative + refinement) fused into one jitted program.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline context: the reference runs this workload as 5 sequential
+session.run calls per pair on a CUDA-8/TF-1.4 GPU (examples/example.py:
+87-99) and publishes no numbers (BASELINE.md). We use an estimated 2.5
+pairs/s for that setup (single pair per run, 5 host round trips) as the
+denominator; the BASELINE.json target is >10x.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_PAIRS_PER_S = 2.5  # estimated TF1.4 GPU baseline (see docstring)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from demon_tpu.engine.inference import DemonEngine
+    from demon_tpu.models import DEMON_INTRINSICS
+
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    engine = DemonEngine(variant="v1", iterations=3)
+    params = engine.init(jax.random.key(0))
+
+    H, W = DemonEngine.HEIGHT, DemonEngine.WIDTH
+    rng = np.random.RandomState(0)
+    image_pair = jnp.asarray(rng.rand(batch, H, W, 6).astype(np.float32) - 0.5)
+    image2_2 = jnp.asarray(
+        rng.rand(batch, H // 4, W // 4, 3).astype(np.float32) - 0.5)
+    intrinsics = jnp.broadcast_to(jnp.asarray(DEMON_INTRINSICS), (batch, 4))
+
+    def run():
+        out = engine.predict(params, image_pair, image2_2, intrinsics)
+        jax.block_until_ready(out.depth_refined)
+        return out
+
+    run()  # compile
+    run()  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = time.perf_counter() - t0
+    pairs_per_s = batch * iters / dt
+
+    print(json.dumps({
+        "metric": "demon_full_pipeline_pairs_per_s_per_chip",
+        "value": round(pairs_per_s, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / REFERENCE_PAIRS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
