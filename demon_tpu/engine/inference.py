@@ -111,6 +111,40 @@ class DemonEngine:
             )
         return self._jit_predict(params, image_pair, image2_2, intrinsics)
 
+    # ------------------------------------------------------------------
+    def _predict_eval(self, params, image_pair, image2_2, intrinsics):
+        """Evaluation-protocol forward: per-iteration predictions PLUS a
+        refined depth for every iteration (the reference refines each of
+        the 4 iterations, examples/evaluation.py:226-257) — still one
+        jitted program."""
+        out = self._predict(params, image_pair, image2_2, intrinsics)
+        image1 = image_pair[..., :3]
+        refined = []
+        for i in range(self.iterations + 1):
+            depth2_i = jax.tree.map(lambda t: t[i], out.history.depth2)
+            r = self.refinement.apply(params["refinement"], image1, depth2_i)
+            refined.append(r["predict_depth0"])
+        return {
+            "flow2": out.history.flow2,            # [I+1, B, h, w, 2]
+            "conf2": out.history.conf2,
+            "depth2": out.history.depth2,          # [I+1, B, h, w, 1]
+            "normal2": out.history.normal2,
+            "rotation": out.history.rotation,      # [I+1, B, 3]
+            "translation": out.history.translation,
+            "scale": out.history.scale,
+            "depth_refined": jnp.stack(refined),   # [I+1, B, H, W, 1]
+        }
+
+    def predict_eval(self, params, image_pair, image2_2,
+                     intrinsics: Optional[jax.Array] = None):
+        if intrinsics is None:
+            intrinsics = jnp.broadcast_to(
+                jnp.asarray(DEMON_INTRINSICS), (image_pair.shape[0], 4)
+            )
+        if not hasattr(self, "_jit_predict_eval"):
+            self._jit_predict_eval = jax.jit(self._predict_eval)
+        return self._jit_predict_eval(params, image_pair, image2_2, intrinsics)
+
 
 def prepare_input_pair(img1: np.ndarray, img2: np.ndarray) -> Dict[str, np.ndarray]:
     """Pack two uint8 RGB images into network inputs (NHWC).

@@ -1,0 +1,91 @@
+"""Checkpointing — orbax-based replacement for the reference's tf.Saver
+flow (training/v2/training.py:573-596: saver_interval=100k snapshots,
+recovery_saver_interval=10 frequent recovery snapshots, per-evolution
+checkpoint dirs with warm-start from the previous evolution)."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _manager(directory: str, max_to_keep: Optional[int] = None):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True),
+    )
+
+
+class EvolutionCheckpointer:
+    """Per-evolution checkpoint directory tree::
+
+        <train_dir>/<evolution>/checkpoints/<step>/...
+
+    save() writes {params, opt_state, step}; restore() loads the latest;
+    warm-start pulls only `params` from the previous evolution's final
+    snapshot (the reference loads the previous evolution's variables by
+    scope name, training/README.md:14-19).
+    """
+
+    def __init__(self, train_dir: str, evolution: str, max_to_keep: int = 3):
+        self.dir = os.path.join(train_dir, evolution, "checkpoints")
+        self._mgr = _manager(self.dir, max_to_keep=max_to_keep)
+
+    def save(self, step: int, params, opt_state=None, force: bool = False):
+        import orbax.checkpoint as ocp
+
+        state = {"params": params}
+        if opt_state is not None:
+            state["opt_state"] = opt_state
+        self._mgr.save(step, args=ocp.args.StandardSave(state), force=force)
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, target: Dict[str, Any]) -> Tuple[int, Dict[str, Any]]:
+        """Restore the latest snapshot into the structure of `target`."""
+        import orbax.checkpoint as ocp
+
+        step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.dir}")
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+        return step, restored
+
+    def restore_params(self, params_like) -> Dict[str, Any]:
+        import orbax.checkpoint as ocp
+
+        step = self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.dir}")
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore({"params": params_like}))
+        return restored["params"]
+
+    def close(self):
+        self._mgr.close()
+
+
+def check_numerics(tree, name: str = "tree"):
+    """Raise if any leaf contains NaN/Inf — the reference guards training
+    with tf.check_numerics on the loss every display step and on all train
+    vars every 1000 steps (training.py:560-563,592-594)."""
+    bad = []
+
+    def _check(path, leaf):
+        a = np.asarray(leaf)
+        if a.dtype.kind == "f" and not np.all(np.isfinite(a)):
+            bad.append(jax.tree_util.keystr(path))
+
+    jax.tree_util.tree_map_with_path(_check, tree)
+    if bad:
+        raise FloatingPointError(f"non-finite values in {name}: {bad[:5]}")

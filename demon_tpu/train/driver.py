@@ -1,0 +1,192 @@
+"""The training main loop — the TPU-native counterpart of
+training/v2/training.py `main()` + the external tfutils EvolutionTrainer
+mainloop.
+
+Runs the six evolutions in sequence: each evolution builds its reader,
+warm-starts from the previous evolution's snapshot, executes the jitted
+train step over a sharded mesh, logs metrics as JSONL (the tf.summary
+equivalent), checkpoints at `saver_interval` plus frequent recovery
+snapshots, and guards numerics every `check_numerics_interval` steps.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.pipeline import device_prefetch
+from ..data.reader import MultiViH5DataReader
+from .checkpoint import EvolutionCheckpointer, check_numerics
+from .trainer import EVOLUTIONS, EvolutionTrainer, TrainConfig
+
+
+def default_reader_params(cfg: TrainConfig, sources: Sequence[dict],
+                          evo: str, seed: int = 0) -> dict:
+    """Reader configuration used by the reference driver
+    (training.py:96-116): inverse depth, ANGLEAXIS6, ||t||=1 with depth
+    rescale, 192x256, rot180/mirror augmentation."""
+    return {
+        "batch_size": cfg.batch_for(evo),
+        "test_phase": False,
+        "builder_threads": 4,
+        "inverse_depth": True,
+        "motion_format": "ANGLEAXIS6",
+        "norm_trans_scale_depth": True,
+        "scaled_height": cfg.height,
+        "scaled_width": cfg.width,
+        "scene_pool_size": 500,
+        "augment_rot180": 0.5,
+        "augment_mirror_x": 0.5,
+        "top_output": ("IMAGE_PAIR", "MOTION", "DEPTH", "INTRINSICS"),
+        "source": list(sources),
+        "seed": seed,
+    }
+
+
+class MetricsLogger:
+    """JSONL metrics sink (stands in for tf.summary scalars,
+    training.py:553-558)."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        self._f = open(path, "a")
+
+    def log(self, step: int, metrics: Dict[str, Any]):
+        rec = {"step": int(step)}
+        for k, v in metrics.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                pass
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+class TrainingDriver:
+    """Runs evolutions 0..5 end to end.
+
+    Iteration counts default to the reference schedule (1000k/1000k/250k/
+    250k/1500k/250k, training.py:47-54); pass `max_steps` to cap them for
+    smoke runs.
+    """
+
+    def __init__(self, train_dir: str, sources: Sequence[dict],
+                 config: TrainConfig = None, mesh=None,
+                 max_steps: Optional[int] = None,
+                 display_interval: int = 100,
+                 saver_interval: int = 100_000,
+                 recovery_interval: int = 5_000,
+                 check_numerics_interval: int = 1_000,
+                 seed: int = 0):
+        self.train_dir = train_dir
+        self.sources = list(sources)
+        self.config = config or TrainConfig()
+        self.mesh = mesh
+        self.max_steps = max_steps
+        self.display_interval = display_interval
+        self.saver_interval = saver_interval
+        self.recovery_interval = recovery_interval
+        self.check_numerics_interval = check_numerics_interval
+        self.seed = seed
+        self.trainer = EvolutionTrainer(self.config, mesh=mesh)
+
+    # ------------------------------------------------------------------
+    def _initial_params(self, evo: str):
+        """Warm-start chain: latest snapshot of this evolution (resume) or
+        of the previous one, else fresh init."""
+        params_like = self.trainer.init_params(jax.random.key(self.seed))
+        idx = EVOLUTIONS.index(evo)
+        # resume this evolution if it has checkpoints
+        ck = EvolutionCheckpointer(self.train_dir, evo)
+        if ck.latest_step() is not None:
+            opt_like = self.trainer.init_opt_state(evo, params_like)
+            step, restored = ck.restore(
+                {"params": params_like, "opt_state": opt_like})
+            return restored["params"], restored.get("opt_state"), step
+        # warm start from the previous evolution
+        for prev in reversed(EVOLUTIONS[:idx]):
+            ckp = EvolutionCheckpointer(self.train_dir, prev)
+            if ckp.latest_step() is not None:
+                return ckp.restore_params(params_like), None, 0
+        return params_like, None, 0
+
+    # ------------------------------------------------------------------
+    def run_evolution(self, evo: str) -> Dict[str, Any]:
+        cfg = self.config
+        max_iter = cfg.max_iter[evo]
+        if self.max_steps is not None:
+            max_iter = min(max_iter, self.max_steps)
+
+        params, opt_state, start_step = self._initial_params(evo)
+        if opt_state is None:
+            opt_state = self.trainer.init_opt_state(evo, params)
+        step_fn = self.trainer.make_train_step(evo)
+        ck = EvolutionCheckpointer(self.train_dir, evo)
+        logger = MetricsLogger(
+            os.path.join(self.train_dir, evo, "metrics.jsonl"))
+
+        reader = MultiViH5DataReader(default_reader_params(
+            cfg, self.sources, evo, seed=self.seed))
+        batches = device_prefetch(iter(reader), mesh=self.mesh)
+
+        replay = None
+        if evo == "4_iterative":
+            first = next(batches)
+            replay = self.trainer.init_replay(evo, params, first)
+
+        metrics = {}
+        t_last = time.time()
+        try:
+            step = start_step
+            while step < max_iter:
+                batch = next(batches)
+                batch = {k: v for k, v in batch.items() if k != "SAMPLE_IDS"}
+                params, opt_state, metrics, replay = step_fn(
+                    params, opt_state, batch,
+                    jnp.asarray(step, jnp.int32), replay)
+                step += 1
+
+                if step % self.display_interval == 0:
+                    total = float(metrics["total_loss"])
+                    dt = time.time() - t_last
+                    t_last = time.time()
+                    rate = self.display_interval * cfg.batch_for(evo) / dt
+                    print(f"[{evo}] step {step}/{max_iter} "
+                          f"loss={total:.4f} "
+                          f"lr={float(metrics['learning_rate']):.2e} "
+                          f"{rate:.1f} samples/s", flush=True)
+                    logger.log(step, metrics)
+                    if not np.isfinite(total):
+                        raise FloatingPointError(
+                            f"non-finite total loss at step {step}")
+                if step % self.check_numerics_interval == 0:
+                    check_numerics(params, f"params@{step}")
+                if step % self.saver_interval == 0 or step == max_iter:
+                    ck.save(step, params, opt_state)
+                elif step % self.recovery_interval == 0:
+                    ck.save(step, params, opt_state)
+        finally:
+            reader.close()
+            ck.wait()
+            if ck.latest_step() != step:
+                ck.save(step, params, opt_state, force=True)
+            ck.wait()
+            ck.close()
+            logger.close()
+        return {"params": params, "step": step,
+                "metrics": {k: float(v) for k, v in metrics.items()}}
+
+    # ------------------------------------------------------------------
+    def run(self, evolutions: Sequence[str] = EVOLUTIONS) -> None:
+        for evo in evolutions:
+            print(f"=== evolution {evo} ===", flush=True)
+            self.run_evolution(evo)
