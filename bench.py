@@ -42,8 +42,10 @@ def main():
 
     def run():
         out = engine.predict(params, image_pair, image2_2, intrinsics)
-        jax.block_until_ready(out.depth_refined)
-        return out
+        # force completion with a host transfer: on the tunneled axon
+        # platform block_until_ready resolves before device completion,
+        # so fetching a value is the only reliable fence
+        return float(jnp.sum(out.depth_refined))
 
     run()  # compile
     run()  # warm

@@ -1,0 +1,199 @@
+"""Pure-python reader for TensorFlow V2 "bundle" checkpoints
+(<prefix>.index + <prefix>.data-NNNNN-of-MMMMM), so the released DeMoN
+weights (weights/download_weights.sh -> demon_original checkpoint,
+restored via tf.train.Saver in reference examples/example.py:82-83) can be
+converted WITHOUT a TensorFlow installation.
+
+The .index file is a LevelDB-format table mapping variable names to
+BundleEntryProto records (dtype, shape, shard, offset, size); the .data
+shards hold raw little-endian tensor bytes. Both formats are stable public
+TF formats (tensorflow/core/util/tensor_bundle)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import struct
+from typing import Dict, Iterator, List, Tuple
+
+import numpy as np
+
+_TABLE_MAGIC = 0xDB4775248B80FB57
+
+# TF DataType enum -> numpy dtype (subset that appears in checkpoints)
+_TF_DTYPES = {
+    1: np.float32, 2: np.float64, 3: np.int32, 4: np.uint8, 5: np.int16,
+    6: np.int8, 7: object,  # string
+    9: np.int64, 10: np.bool_, 14: np.uint16, 17: np.uint16,  # bfloat16 raw
+    19: np.float16, 22: np.uint32, 23: np.uint64,
+}
+
+
+# ---------------------------------------------------------------------------
+# varint / protobuf primitives
+# ---------------------------------------------------------------------------
+
+def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _iter_proto_fields(buf: bytes) -> Iterator[Tuple[int, int, object]]:
+    """Yield (field_number, wire_type, value) over a serialized message."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wt = tag >> 3, tag & 7
+        if wt == 0:       # varint
+            val, pos = _read_varint(buf, pos)
+        elif wt == 1:     # fixed64
+            val = struct.unpack_from("<Q", buf, pos)[0]
+            pos += 8
+        elif wt == 2:     # length-delimited
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]
+            pos += ln
+        elif wt == 5:     # fixed32
+            val = struct.unpack_from("<I", buf, pos)[0]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield field, wt, val
+
+
+def _parse_shape(buf: bytes) -> List[int]:
+    """TensorShapeProto: repeated Dim dim = 2; Dim.size = 1."""
+    dims = []
+    for field, _, val in _iter_proto_fields(buf):
+        if field == 2:
+            size = 0
+            for f2, _, v2 in _iter_proto_fields(val):
+                if f2 == 1:
+                    size = v2
+            dims.append(size)
+    return dims
+
+
+def _parse_bundle_entry(buf: bytes) -> dict:
+    """BundleEntryProto: dtype=1, shape=2, shard_id=3, offset=4, size=5."""
+    entry = {"dtype": 0, "shape": [], "shard_id": 0, "offset": 0, "size": 0}
+    for field, _, val in _iter_proto_fields(buf):
+        if field == 1:
+            entry["dtype"] = val
+        elif field == 2:
+            entry["shape"] = _parse_shape(val)
+        elif field == 3:
+            entry["shard_id"] = val
+        elif field == 4:
+            entry["offset"] = val
+        elif field == 5:
+            entry["size"] = val
+    return entry
+
+
+# ---------------------------------------------------------------------------
+# leveldb table reading
+# ---------------------------------------------------------------------------
+
+def _read_block_handle(buf: bytes, pos: int) -> Tuple[Tuple[int, int], int]:
+    offset, pos = _read_varint(buf, pos)
+    size, pos = _read_varint(buf, pos)
+    return (offset, size), pos
+
+
+def _read_block(data: bytes, handle: Tuple[int, int]) -> bytes:
+    offset, size = handle
+    block = data[offset : offset + size]
+    ctype = data[offset + size]  # 1-byte compression type trailer
+    if ctype == 0:
+        return block
+    if ctype == 1:  # snappy
+        try:
+            import snappy  # type: ignore
+
+            return snappy.uncompress(block)
+        except ImportError as e:
+            raise RuntimeError(
+                "checkpoint index block is snappy-compressed and python "
+                "snappy is unavailable") from e
+    raise ValueError(f"unknown block compression {ctype}")
+
+
+def _iter_block_entries(block: bytes) -> Iterator[Tuple[bytes, bytes]]:
+    """Iterate (key, value) of one leveldb data block."""
+    if len(block) < 4:
+        return
+    num_restarts = struct.unpack_from("<I", block, len(block) - 4)[0]
+    data_end = len(block) - 4 - 4 * num_restarts
+    pos = 0
+    key = b""
+    while pos < data_end:
+        shared, pos = _read_varint(block, pos)
+        non_shared, pos = _read_varint(block, pos)
+        value_len, pos = _read_varint(block, pos)
+        key = key[:shared] + block[pos : pos + non_shared]
+        pos += non_shared
+        value = block[pos : pos + value_len]
+        pos += value_len
+        yield key, value
+
+
+def _read_table(path: str) -> Dict[bytes, bytes]:
+    """Read every (key, value) from a leveldb-format table file."""
+    with open(path, "rb") as f:
+        data = f.read()
+    footer = data[-48:]
+    magic = struct.unpack("<Q", footer[-8:])[0]
+    if magic != _TABLE_MAGIC:
+        raise ValueError(f"{path}: not a leveldb table (bad magic)")
+    pos = 0
+    _meta_handle, pos = _read_block_handle(footer, pos)
+    index_handle, pos = _read_block_handle(footer, pos)
+    index_block = _read_block(data, index_handle)
+    out: Dict[bytes, bytes] = {}
+    for _key, handle_bytes in _iter_block_entries(index_block):
+        handle, _ = _read_block_handle(handle_bytes, 0)
+        for k, v in _iter_block_entries(_read_block(data, handle)):
+            out[k] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def list_variables(prefix: str) -> Dict[str, dict]:
+    """Map variable name -> {dtype, shape, shard_id, offset, size}."""
+    entries = _read_table(prefix + ".index")
+    out = {}
+    for key, value in entries.items():
+        if not key:  # header entry
+            continue
+        out[key.decode()] = _parse_bundle_entry(value)
+    return out
+
+
+def read_tf_checkpoint(prefix: str) -> Dict[str, np.ndarray]:
+    """Load all tensors of a TF bundle checkpoint into numpy arrays."""
+    variables = list_variables(prefix)
+    shards = sorted(glob.glob(prefix + ".data-*-of-*"))
+    if not shards:
+        raise FileNotFoundError(f"no data shards for {prefix}")
+    shard_bytes = [open(s, "rb").read() for s in shards]
+    out: Dict[str, np.ndarray] = {}
+    for name, e in variables.items():
+        dtype = _TF_DTYPES.get(e["dtype"])
+        if dtype is None or dtype is object:
+            continue  # skip strings/unsupported
+        raw = shard_bytes[e["shard_id"]][e["offset"] : e["offset"] + e["size"]]
+        arr = np.frombuffer(raw, dtype=dtype)
+        out[name] = arr.reshape(e["shape"]).copy()
+    return out
