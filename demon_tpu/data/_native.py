@@ -1,0 +1,176 @@
+"""ctypes binding to libdemon_native.so (native/demon_native.cpp) — the
+C++ data-plane: LZ4+fp16 depth decode, WebP decode, resize, and the
+per-pixel reprojection kernels with OpenMP.
+
+The library is an accelerator: `available()` gates every entry point and
+callers fall back to the numpy implementations in host_geometry / the
+PIL codecs. Build with `make -C native`; override the path with
+DEMON_NATIVE_LIB (mirrors the reference's MULTIVIH5DATAREADEROP_LIB env
+override, datareader/__init__.py:23-26)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_lib = None
+_tried = False
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    candidates = []
+    env = os.environ.get("DEMON_NATIVE_LIB")
+    if env:
+        candidates.append(env)
+    candidates.append(os.path.join(_REPO_ROOT, "native", "libdemon_native.so"))
+    for path in candidates:
+        if os.path.isfile(path):
+            try:
+                lib = ctypes.CDLL(path)
+            except OSError:
+                continue
+            _declare(lib)
+            _lib = lib
+            break
+    return _lib
+
+
+def _declare(lib):
+    c = ctypes
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+    lib.demon_lz4half_to_float.restype = c.c_int
+    lib.demon_lz4half_to_float.argtypes = [c.c_char_p, c.c_int, f32p, c.c_int]
+    lib.demon_webp_info.restype = c.c_int
+    lib.demon_webp_info.argtypes = [c.c_char_p, c.c_size_t,
+                                    c.POINTER(c.c_int), c.POINTER(c.c_int)]
+    lib.demon_webp_decode_rgb.restype = c.c_int
+    lib.demon_webp_decode_rgb.argtypes = [c.c_char_p, c.c_size_t, u8p,
+                                          c.c_int, c.c_int]
+    lib.demon_resize_nearest_f32.restype = None
+    lib.demon_resize_nearest_f32.argtypes = [f32p, c.c_int, c.c_int, f32p,
+                                             c.c_int, c.c_int]
+    lib.demon_resize_area_rgb8.restype = None
+    lib.demon_resize_area_rgb8.argtypes = [u8p, c.c_int, c.c_int, u8p,
+                                           c.c_int, c.c_int]
+    lib.demon_compute_flow.restype = None
+    lib.demon_compute_flow.argtypes = [f32p, c.c_int, c.c_int,
+                                       f64p, f64p, f64p, f64p, f64p, f64p, f32p]
+    lib.demon_compute_depthmask.restype = None
+    lib.demon_compute_depthmask.argtypes = [f32p, c.c_int, c.c_int,
+                                            f64p, f64p, f64p, f64p, f64p, f64p,
+                                            c.c_int, c.c_int, f32p]
+    lib.demon_ray_length_to_z.restype = None
+    lib.demon_ray_length_to_z.argtypes = [f32p, c.c_int, c.c_int, f64p]
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def lz4half_to_float(data: bytes, count: int) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(count, np.float32)
+    if lib.demon_lz4half_to_float(data, len(data), out, count) != 0:
+        raise RuntimeError("native lz4half decode failed")
+    return out
+
+
+def webp_decode_rgb(data: bytes) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.demon_webp_info(data, len(data), ctypes.byref(w),
+                           ctypes.byref(h)) != 0:
+        raise RuntimeError("native webp info failed")
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    if lib.demon_webp_decode_rgb(data, len(data), out, w.value, h.value) != 0:
+        raise RuntimeError("native webp decode failed")
+    return out
+
+
+def resize_nearest_f32(src: np.ndarray, dh: int, dw: int) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.float32)
+    out = np.empty((dh, dw), np.float32)
+    lib.demon_resize_nearest_f32(src, src.shape[0], src.shape[1], out, dh, dw)
+    return out
+
+
+def resize_area_rgb8(src: np.ndarray, dh: int, dw: int) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.uint8)
+    out = np.empty((dh, dw, 3), np.uint8)
+    lib.demon_resize_area_rgb8(src, src.shape[0], src.shape[1], out, dh, dw)
+    return out
+
+
+def _norm_intr(Kn: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(
+        [Kn[0, 0], Kn[1, 1], Kn[0, 2], Kn[1, 2]], dtype=np.float64)
+
+
+def compute_flow(depth, K1n, R1, t1, K2n, R2, t2) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    depth = np.ascontiguousarray(depth, np.float32)
+    h, w = depth.shape
+    out = np.empty((h, w, 2), np.float32)
+    lib.demon_compute_flow(
+        depth, h, w, _norm_intr(np.asarray(K1n)),
+        np.ascontiguousarray(R1, np.float64),
+        np.ascontiguousarray(t1, np.float64),
+        _norm_intr(np.asarray(K2n)),
+        np.ascontiguousarray(R2, np.float64),
+        np.ascontiguousarray(t2, np.float64), out)
+    return out
+
+
+def compute_depthmask(depth, K1n, R1, t1, K2n, R2, t2, border1, border2
+                      ) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    depth = np.ascontiguousarray(depth, np.float32)
+    h, w = depth.shape
+    out = np.empty((h, w), np.float32)
+    lib.demon_compute_depthmask(
+        depth, h, w, _norm_intr(np.asarray(K1n)),
+        np.ascontiguousarray(R1, np.float64),
+        np.ascontiguousarray(t1, np.float64),
+        _norm_intr(np.asarray(K2n)),
+        np.ascontiguousarray(R2, np.float64),
+        np.ascontiguousarray(t2, np.float64),
+        int(border1), int(border2), out)
+    return out
+
+
+def ray_length_to_z(depth: np.ndarray, Kn: np.ndarray) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.ascontiguousarray(depth, np.float32).copy()
+    lib.demon_ray_length_to_z(out, out.shape[0], out.shape[1],
+                              _norm_intr(np.asarray(Kn)))
+    return out

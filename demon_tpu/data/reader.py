@@ -32,6 +32,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from . import _native as native
 from . import host_geometry as hg
 from .lz4 import lz4_uncompress
 from .webp import webp_decode
@@ -380,10 +381,12 @@ class _BatchBuilder(threading.Thread):
     # BatchBuilder::prepareScene, multivih5datareader.cpp:1384-1520
     def _prepare_scene(self, scene: _Scene):
         p = self.r.params
+        use_native = native.available()
         for camvec in scene.cameras:
             for cam in camvec:
                 if cam.image_bytes is not None:
-                    img = webp_decode(cam.image_bytes)
+                    img = (native.webp_decode_rgb(cam.image_bytes)
+                           if use_native else webp_decode(cam.image_bytes))
                     cam.height, cam.width = img.shape[:2]
                     cam.image_bytes = None
                 else:
@@ -398,19 +401,31 @@ class _BatchBuilder(threading.Thread):
                 sw = p.scaled_width or cam.width
                 sh = p.scaled_height or cam.height
                 if img is not None:
-                    img = _area_resize_uint8(img, sh, sw)
+                    if use_native and (sh, sw) != img.shape[:2]:
+                        img = native.resize_area_rgb8(img, sh, sw)
+                    else:
+                        img = _area_resize_uint8(img, sh, sw)
                     rng = p.image_range_max - p.image_range_min
                     cam.image = img.astype(np.float32) * (rng / 255.0) + p.image_range_min
                 if cam.depth_bytes is not None:
-                    raw = lz4_uncompress(cam.depth_bytes, cam.height * cam.width * 2)
+                    count = cam.height * cam.width
+                    if use_native:
+                        d = native.lz4half_to_float(cam.depth_bytes, count)
+                        d = d.reshape(cam.height, cam.width)
+                    else:
+                        raw = lz4_uncompress(cam.depth_bytes, count * 2)
+                        d = np.frombuffer(raw, np.float16).astype(np.float32)
+                        d = d.reshape(cam.height, cam.width)
                     cam.depth_bytes = None
-                    d = np.frombuffer(raw, np.float16).astype(np.float32)
-                    d = d.reshape(cam.height, cam.width)
                     if (sh, sw) != (cam.height, cam.width):
-                        d = _nearest_resize(d, sh, sw)
+                        d = (native.resize_nearest_f32(d, sh, sw)
+                             if use_native else _nearest_resize(d, sh, sw))
                     if cam.depth_metric == "ray_length":
-                        d = hg.ray_length_to_camera_z(
-                            d, hg._pixel_K(cam.K, sw, sh))
+                        if use_native:
+                            d = native.ray_length_to_z(d, cam.K)
+                        else:
+                            d = hg.ray_length_to_camera_z(
+                                d, hg._pixel_K(cam.K, sw, sh))
                         cam.depth_metric = "camera_z"
                     cam.depth = d
                 cam.width, cam.height = sw, sh
@@ -557,8 +572,11 @@ class _BatchBuilder(threading.Thread):
 
         # ---- flow (pixel units) with sign fixups, reference :1817-1843 ----
         if "FLOW" in p.top_output:
-            flow = hg.compute_flow(cam1.depth, cam1.K, cam1.R, cam1.t,
-                                   cam2.K, cam2.R, cam2.t)
+            flow = native.compute_flow(cam1.depth, cam1.K, cam1.R, cam1.t,
+                                       cam2.K, cam2.R, cam2.t) \
+                if native.available() else \
+                hg.compute_flow(cam1.depth, cam1.K, cam1.R, cam1.t,
+                                cam2.K, cam2.R, cam2.t)
             if rotate180:
                 flow = -flow[::-1, ::-1]
             if mirror_x:
@@ -592,12 +610,17 @@ class _BatchBuilder(threading.Thread):
         # ---- depth-visibility masks, reference :1908-1941 ----
         if "DEPTHMASKS" in p.top_output:
             b1, b2 = p.depthmask_border1, p.depthmask_border2
-            masks = [hg.compute_depthmask(cam1.depth, cam1.K, cam1.R, cam1.t,
-                                          cam2.K, cam2.R, cam2.t, b1, b2)]
+
+            def _mask(ca, cb):
+                if native.available():
+                    return native.compute_depthmask(
+                        ca.depth, ca.K, ca.R, ca.t, cb.K, cb.R, cb.t, b1, b2)
+                return hg.compute_depthmask(
+                    ca.depth, ca.K, ca.R, ca.t, cb.K, cb.R, cb.t, b1, b2)
+
+            masks = [_mask(cam1, cam2)]
             if p.depth_pair:
-                masks.append(hg.compute_depthmask(
-                    cam2.depth, cam2.K, cam2.R, cam2.t,
-                    cam1.K, cam1.R, cam1.t, b1, b2))
+                masks.append(_mask(cam2, cam1))
             m = np.stack(masks, axis=-1)
             if rotate180:
                 m = m[::-1, ::-1]
