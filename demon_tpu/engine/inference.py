@@ -66,10 +66,13 @@ class DemonEngine:
         intrinsics = jnp.broadcast_to(jnp.asarray(DEMON_INTRINSICS),
                                       (batch_size, 4))
         k1, k2, k3 = jax.random.split(rng, 3)
-        boot = self.bootstrap.init(k1, image_pair, image2_2)
-        prev = self.bootstrap.apply(boot, image_pair, image2_2)
-        iter_ = self.iterative.init(k2, image_pair, image2_2, intrinsics, prev)
-        refine = self.refinement.init(
+        # jit the init path: un-jitted tracing executes op-by-op, which is
+        # pathologically slow over a remote TPU transport
+        boot = jax.jit(self.bootstrap.init)(k1, image_pair, image2_2)
+        prev = jax.jit(self.bootstrap.apply)(boot, image_pair, image2_2)
+        iter_ = jax.jit(self.iterative.init)(
+            k2, image_pair, image2_2, intrinsics, prev)
+        refine = jax.jit(self.refinement.init)(
             k3, image_pair[..., :3], prev.depth2
         )
         return {"bootstrap": boot, "iterative": iter_, "refinement": refine}

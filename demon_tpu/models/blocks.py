@@ -146,11 +146,14 @@ class FlowBlock(nn.Module):
         else:
             conv2 = convrelu2(conv1, 32, 7, name="conv2", stride=2, **cp)
 
+            # geometry runs in fp32 regardless of the conv dtype — bf16 is
+            # far too coarse for reprojection math
+            f32 = lambda t: t.astype(jnp.float32)
             flow_dm = ops.depth_to_flow(
-                intrinsics,
-                prev["depth2"],
-                prev["rotation"],
-                prev["translation"],
+                f32(intrinsics),
+                f32(prev["depth2"]),
+                f32(prev["rotation"]),
+                f32(prev["translation"]),
                 inverse_depth=True,
                 normalize_flow=True,
             )
@@ -161,10 +164,13 @@ class FlowBlock(nn.Module):
             flow_dm = ops.replace_nonfinite(flow_dm)
 
             image2_2_warped = ops.warp2d(
-                image2_2, flow_dm, normalized=True, border_mode="value"
+                f32(image2_2), flow_dm, normalized=True, border_mode="value"
             )
             extra = jnp.concatenate(
-                [image2_2_warped, flow_dm, prev["depth2"], prev["normal2"]],
+                [image2_2_warped.astype(self.dtype),
+                 flow_dm.astype(self.dtype),
+                 prev["depth2"].astype(self.dtype),
+                 prev["normal2"].astype(self.dtype)],
                 axis=-1,
             )
             extra = jax.lax.stop_gradient(extra)
@@ -233,25 +239,29 @@ class DepthMotionBlock(nn.Module):
                           stride=2, **cp)
         conv2 = convrelu2(conv1, 32, 7, name="conv2", stride=2, **cp)
 
+        f32 = lambda t: t.astype(jnp.float32)
         image2_2_warped = ops.warp2d(
-            image2_2, prev_flow2, normalized=True, border_mode="value"
-        )
-        extra = [image2_2_warped, prev_flowconf2]
+            f32(image2_2), f32(prev_flow2), normalized=True,
+            border_mode="value"
+        ).astype(self.dtype)
+        extra = [image2_2_warped, prev_flowconf2.astype(self.dtype)]
         if prev_rotation is not None and prev_translation is not None \
                 and intrinsics is not None:
             if v1:
                 depth_from_flow = ops.flow_to_depth(
-                    prev_flow2, intrinsics, prev_rotation, prev_translation,
+                    f32(prev_flow2), f32(intrinsics), f32(prev_rotation),
+                    f32(prev_translation),
                     normalized_flow=True, inverse_depth=True,
                 )
             else:
                 depth_from_flow = ops.flow_to_depth2(
-                    prev_flow2, intrinsics, prev_rotation, prev_translation,
+                    f32(prev_flow2), f32(intrinsics), f32(prev_rotation),
+                    f32(prev_translation),
                     normalized_flow=True, inverse_depth=True,
                 )
                 depth_from_flow = jnp.clip(depth_from_flow, 0.0, 50.0)
             depth_from_flow = ops.replace_nonfinite(depth_from_flow)
-            extra.append(depth_from_flow)
+            extra.append(depth_from_flow.astype(self.dtype))
 
         extra = jax.lax.stop_gradient(jnp.concatenate(extra, axis=-1))
         conv_extra = convrelu2(extra, 32, 3, name="conv2_extra_inputs",

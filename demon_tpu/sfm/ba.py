@@ -1,0 +1,139 @@
+"""Bundle adjustment with a Schur-complement reduction — jitted, and
+mesh-distributable over the point dimension.
+
+Problem: N camera poses (world-to-cam), M world points, observations
+(point k seen by camera c at pixel uv, normalized image coords).
+Minimize reprojection error over pose perturbations and point positions.
+
+Structure exploited the standard way: the Hessian is
+    [ Hcc  Hcp ]
+    [ Hcp' Hpp ]
+with Hpp block-diagonal (3x3 per point). Points are eliminated via the
+Schur complement S = Hcc - Hcp Hpp^-1 Hcp'; the reduced 6N x 6N camera
+system is solved densely. All per-point work is a vmap over points, so
+sharding the point axis over a mesh turns the S/b accumulation into a
+psum — run `bundle_adjust` inside shard_map with `axis_name` set for the
+distributed variant (BASELINE.json north-star: distributed Schur BA over
+ICI collectives).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .lie import se3_compose, se3_exp
+
+
+class BAProblem(NamedTuple):
+    """Observations of M points by N cameras.
+
+    Fixed-size (jit-static) layout: every point carries `obs_per_point`
+    observations, invalid ones masked by weight 0.
+    """
+
+    cam_idx: jax.Array   # [M, O] int32 camera index per observation
+    uv: jax.Array        # [M, O, 2] observed normalized image coords
+    weight: jax.Array    # [M, O] observation weights (0 = invalid)
+    intrinsics: jax.Array  # [4] normalized (fx, fy, cx, cy), shared
+
+
+def _project(R, t, X, intr):
+    """World point -> normalized image coords."""
+    Xc = (R @ X[..., None])[..., 0] + t
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    z = Xc[..., 2]
+    u = fx * Xc[..., 0] / z + cx
+    v = fy * Xc[..., 1] / z + cy
+    return jnp.stack([u, v], axis=-1), z
+
+
+def _point_residual(delta_cams, R, t, X_k, obs_cam, obs_uv, obs_w, intr):
+    """Residuals of one point's observations under camera perturbations.
+    delta_cams: [N, 6]; X_k: [3]. Returns [O, 2]."""
+    dR, dt = se3_exp(delta_cams)
+    R_new, t_new = se3_compose(dR, dt, R, t)
+    Rc = R_new[obs_cam]
+    tc = t_new[obs_cam]
+    pred, z = _project(Rc, tc, X_k, intr)
+    r = (pred - obs_uv) * obs_w[..., None]
+    # behind-camera observations contribute nothing
+    return jnp.where((z > 1e-6)[..., None], r, 0.0)
+
+
+def bundle_adjust(R: jax.Array, t: jax.Array, points: jax.Array,
+                  problem: BAProblem, iterations: int = 5,
+                  damping: float = 1e-4, fix_first: bool = True,
+                  axis_name: Optional[str] = None):
+    """Gauss-Newton BA. R: [N,3,3], t: [N,3], points: [M,3] world points
+    (the local shard when run under shard_map with `axis_name`).
+
+    Returns (R, t, points, costs[iterations]).
+    """
+    n = R.shape[0]
+
+    def per_point(delta0, R, t, Xk, cam_k, uv_k, w_k):
+        """Blocks for one point: (Jc [O*2, N*6], Jp [O*2, 3], r [O*2])."""
+        def res_c(delta):
+            return _point_residual(delta, R, t, Xk, cam_k, uv_k, w_k,
+                                   problem.intrinsics).reshape(-1)
+
+        def res_p(Xp):
+            return _point_residual(delta0, R, t, Xp, cam_k, uv_k, w_k,
+                                   problem.intrinsics).reshape(-1)
+
+        Jc = jax.jacfwd(res_c)(delta0).reshape(-1, n * 6)
+        Jp = jax.jacfwd(res_p)(Xk)
+        r = res_c(delta0)
+        return Jc, Jp, r
+
+    def gn_step(state, _):
+        R, t, X = state
+        delta0 = jnp.zeros((n, 6), R.dtype)
+
+        def blocks(Xk, cam_k, uv_k, w_k):
+            Jc, Jp, r = per_point(delta0, R, t, Xk, cam_k, uv_k, w_k)
+            Hpp = Jp.T @ Jp + damping * jnp.eye(3, dtype=R.dtype)
+            Hpp_inv = jnp.linalg.inv(Hpp)
+            Hcp = Jc.T @ Jp                     # [6N, 3]
+            W = Hcp @ Hpp_inv                   # [6N, 3]
+            # Schur contributions
+            S_k = Jc.T @ Jc - W @ Hcp.T         # [6N, 6N]
+            b_k = Jc.T @ r - W @ (Jp.T @ r)     # [6N]
+            cost_k = jnp.sum(r * r)
+            return S_k, b_k, Hpp_inv, Jp.T @ r, Hcp, cost_k
+
+        S_all, b_all, Hpp_inv, bp, Hcp_all, cost = jax.vmap(blocks)(
+            X, problem.cam_idx, problem.uv, problem.weight)
+        S = jnp.sum(S_all, axis=0)
+        b = jnp.sum(b_all, axis=0)
+        cost = jnp.sum(cost)
+        if axis_name is not None:
+            # distributed point shards: reduce the camera system over ICI
+            S = jax.lax.psum(S, axis_name)
+            b = jax.lax.psum(b, axis_name)
+            cost = jax.lax.psum(cost, axis_name)
+
+        S = S + damping * jnp.eye(n * 6, dtype=R.dtype)
+        if fix_first:
+            mask = jnp.concatenate(
+                [jnp.zeros(6, R.dtype), jnp.ones(6 * (n - 1), R.dtype)])
+            S = S * mask[None, :] * mask[:, None] + \
+                jnp.diag(1.0 - mask)  # identity rows for the fixed pose
+            b = b * mask
+        delta_c = -jnp.linalg.solve(S, b)                       # [6N]
+
+        # back-substitute points: dX = -Hpp^-1 (bp + Hcp' dc)
+        def backsub(Hpp_inv_k, bp_k, Hcp_k):
+            return -(Hpp_inv_k @ (bp_k + Hcp_k.T @ delta_c))
+
+        dX = jax.vmap(backsub)(Hpp_inv, bp, Hcp_all)
+        dR, dt = se3_exp(delta_c.reshape(n, 6))
+        R_new, t_new = se3_compose(dR, dt, R, t)
+        return (R_new, t_new, X + dX), cost
+
+    (R_out, t_out, X_out), costs = jax.lax.scan(
+        gn_step, (R, t, points), None, length=iterations)
+    return R_out, t_out, X_out, costs

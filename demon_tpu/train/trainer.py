@@ -144,13 +144,15 @@ class EvolutionTrainer:
         intr = jnp.full((B, 4), 0.5)
         keys = jax.random.split(rng, 5)
 
-        pF1 = self.flow_block.init(keys[0], image_pair)["params"]
-        fc = self.flow_block.apply({"params": pF1}, image_pair)
+        # jit init/apply: un-jitted tracing dispatches op-by-op (very slow
+        # over a remote TPU transport)
+        pF1 = jax.jit(self.flow_block.init)(keys[0], image_pair)["params"]
+        fc = jax.jit(self.flow_block.apply)({"params": pF1}, image_pair)
         flow2, _ = _split_flowconf(fc["predict_flowconf2"])
-        pDM1 = self.dm_block.init(
+        pDM1 = jax.jit(self.dm_block.init)(
             keys[1], image_pair, image2_2, flow2, fc["predict_flowconf2"]
         )["params"]
-        dm1 = self.dm_block.apply(
+        dm1 = jax.jit(self.dm_block.apply)(
             {"params": pDM1}, image_pair, image2_2, flow2, fc["predict_flowconf2"]
         )
         prev = {
@@ -159,14 +161,14 @@ class EvolutionTrainer:
             "rotation": dm1["predict_rotation"],
             "translation": dm1["predict_translation"],
         }
-        pF2 = self.flow_block.init(
+        pF2 = jax.jit(self.flow_block.init)(
             keys[2], image_pair, image2_2, intr, prev
         )["params"]
-        pDM2 = self.dm_block.init(
+        pDM2 = jax.jit(self.dm_block.init)(
             keys[3], image_pair, image2_2, flow2, fc["predict_flowconf2"],
             dm1["predict_rotation"], dm1["predict_translation"], intr,
         )["params"]
-        pRef = self.refine_block.init(
+        pRef = jax.jit(self.refine_block.init)(
             keys[4], image_pair[..., :3], dm1["predict_depth2"]
         )["params"]
         return {"netFlow1": pF1, "netDM1": pDM1, "netFlow2": pF2,

@@ -1,0 +1,186 @@
+"""Sequence-level SfM tests: Lie ops, pose-graph GN convergence, Schur BA
+convergence, distributed BA on a mesh, and ATE."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from demon_tpu.sfm import (
+    BAProblem,
+    PoseGraphEdge,
+    absolute_trajectory_error,
+    align_umeyama,
+    bundle_adjust,
+    chain_relative_poses,
+    optimize_pose_graph,
+    se3_exp,
+    se3_log,
+    so3_exp,
+    so3_log,
+)
+from demon_tpu.sfm.lie import se3_compose, se3_inverse
+from demon_tpu.sfm.trajectory import camera_centers
+
+
+def test_lie_roundtrip():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(8, 3) * 0.8)
+    np.testing.assert_allclose(so3_log(so3_exp(w)), w, atol=1e-5)
+    xi = jnp.asarray(rng.randn(8, 6) * 0.5)
+    R, t = se3_exp(xi)
+    np.testing.assert_allclose(se3_log(R, t), xi, atol=1e-5)
+    # inverse/compose
+    Ri, ti = se3_inverse(R, t)
+    Re, te = se3_compose(R, t, Ri, ti)
+    np.testing.assert_allclose(Re, np.broadcast_to(np.eye(3), Re.shape),
+                               atol=1e-6)
+    np.testing.assert_allclose(te, 0.0, atol=1e-6)
+
+
+def _random_trajectory(rng, n):
+    xi = rng.randn(n - 1, 6) * np.array([0.1, 0.1, 0.1, 0.4, 0.4, 0.4])
+    R_rel, t_rel = se3_exp(jnp.asarray(xi))
+    return chain_relative_poses(R_rel, t_rel), (R_rel, t_rel)
+
+
+def test_chain_relative_poses():
+    rng = np.random.RandomState(1)
+    (R, t), (R_rel, t_rel) = _random_trajectory(rng, 5)
+    # T_{i+1} == T_rel o T_i
+    for i in range(4):
+        Rc, tc = se3_compose(R_rel[i], t_rel[i], R[i], t[i])
+        np.testing.assert_allclose(R[i + 1], Rc, atol=1e-6)
+        np.testing.assert_allclose(t[i + 1], tc, atol=1e-6)
+
+
+def test_pose_graph_recovers_noisy_chain():
+    rng = np.random.RandomState(2)
+    n = 8
+    (R_gt, t_gt), (R_rel, t_rel) = _random_trajectory(rng, n)
+
+    # noisy odometry edges + exact loop-closure edge 0 -> n-1
+    noise = jnp.asarray(rng.randn(n - 1, 6) * 0.03)
+    dR, dt = se3_exp(noise)
+    R_noisy, t_noisy = se3_compose(dR, dt, R_rel, t_rel)
+
+    (R_init, t_init) = chain_relative_poses(R_noisy, t_noisy)
+
+    Rl, tl = se3_compose(R_gt[n - 1], t_gt[n - 1],
+                         *se3_inverse(R_gt[0], t_gt[0]))
+    edges = PoseGraphEdge(
+        i=jnp.asarray(list(range(n - 1)) + [0], jnp.int32),
+        j=jnp.asarray(list(range(1, n)) + [n - 1], jnp.int32),
+        R_ij=jnp.concatenate([R_noisy, Rl[None]]),
+        t_ij=jnp.concatenate([t_noisy, tl[None]]),
+        weight=jnp.asarray([1.0] * (n - 1) + [10.0]),
+    )
+    R_opt, t_opt, costs = jax.jit(
+        lambda R0, t0: optimize_pose_graph(R0, t0, edges, iterations=10)
+    )(R_init, t_init)
+    assert float(costs[-1]) < float(costs[0])
+    # loop closure satisfied after optimization
+    Rp, tp = se3_compose(R_opt[n - 1], t_opt[n - 1],
+                         *se3_inverse(R_opt[0], t_opt[0]))
+    np.testing.assert_allclose(Rp, Rl, atol=0.05)
+
+
+def _make_ba_problem(rng, n_cams=4, n_pts=60):
+    # cameras looking at points around origin from z = -4
+    xi = rng.randn(n_cams, 6) * np.array([0.05, 0.05, 0.05, 0.2, 0.2, 0.2])
+    xi[0] = 0
+    R_gt, t_gt = se3_exp(jnp.asarray(xi))
+    t_gt = t_gt + jnp.asarray([0.0, 0.0, 4.0])  # points land in front
+    X_gt = jnp.asarray(rng.uniform(-1, 1, (n_pts, 3)))
+    intr = jnp.asarray([0.9, 1.1, 0.5, 0.5])
+
+    from demon_tpu.sfm.ba import _project
+
+    cam_idx = jnp.tile(jnp.arange(n_cams, dtype=jnp.int32)[None], (n_pts, 1))
+    uv = jax.vmap(lambda X: _project(R_gt, t_gt, X, intr)[0])(X_gt)
+    weight = jnp.ones((n_pts, n_cams))
+    return (R_gt, t_gt, X_gt, intr,
+            BAProblem(cam_idx=cam_idx, uv=uv, weight=weight, intrinsics=intr))
+
+
+def test_bundle_adjust_converges():
+    rng = np.random.RandomState(3)
+    R_gt, t_gt, X_gt, intr, problem = _make_ba_problem(rng)
+    n = R_gt.shape[0]
+
+    # perturb cameras (not cam 0) and points
+    xi_n = rng.randn(n, 6) * 0.02
+    xi_n[0] = 0
+    dR, dt = se3_exp(jnp.asarray(xi_n))
+    R0, t0 = se3_compose(dR, dt, R_gt, t_gt)
+    X0 = X_gt + jnp.asarray(rng.randn(*X_gt.shape) * 0.05)
+
+    R_opt, t_opt, X_opt, costs = jax.jit(
+        lambda R, t, X: bundle_adjust(R, t, X, problem, iterations=8)
+    )(R0, t0, X0)
+    assert float(costs[-1]) < 1e-8, costs
+    np.testing.assert_allclose(np.asarray(R_opt), np.asarray(R_gt), atol=1e-3)
+
+
+def test_bundle_adjust_distributed_matches_single():
+    """shard_map over the point axis with psum must reproduce the
+    single-device solution."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    rng = np.random.RandomState(4)
+    R_gt, t_gt, X_gt, intr, problem = _make_ba_problem(rng, n_cams=3,
+                                                       n_pts=64)
+    n = R_gt.shape[0]
+    xi_n = rng.randn(n, 6) * 0.02
+    xi_n[0] = 0
+    dR, dt = se3_exp(jnp.asarray(xi_n))
+    R0, t0 = se3_compose(dR, dt, R_gt, t_gt)
+    X0 = X_gt + jnp.asarray(rng.randn(*X_gt.shape) * 0.03)
+
+    R_s, t_s, X_s, costs_s = bundle_adjust(R0, t0, X0, problem, iterations=4)
+
+    devices = jax.devices()[:4]
+    mesh = Mesh(np.array(devices), ("pts",))
+
+    @jax.jit
+    def distributed(R, t, X, problem):
+        fn = shard_map(
+            lambda R, t, X, cam_idx, uv, w: bundle_adjust(
+                R, t, X,
+                BAProblem(cam_idx, uv, w, intr),
+                iterations=4, axis_name="pts"),
+            mesh=mesh,
+            in_specs=(P(), P(), P("pts"), P("pts"), P("pts"), P("pts")),
+            out_specs=(P(), P(), P("pts"), P()),
+        )
+        return fn(R, t, X, problem.cam_idx, problem.uv, problem.weight)
+
+    R_d, t_d, X_d, costs_d = distributed(R0, t0, X0, problem)
+    np.testing.assert_allclose(np.asarray(costs_d), np.asarray(costs_s),
+                               rtol=1e-3, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(R_d), np.asarray(R_s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(X_d), np.asarray(X_s), atol=1e-4)
+
+
+def test_ate_alignment():
+    rng = np.random.RandomState(5)
+    ref = rng.randn(20, 3)
+    s, Rm, tv = 2.0, np.asarray(so3_exp(jnp.asarray([0.1, 0.2, -0.1]))), \
+        np.array([1.0, -2.0, 0.5])
+    est = ((ref - tv) @ Rm) / s  # inverse of ref = s R est + t
+    ate = absolute_trajectory_error(est, ref, with_scale=True)
+    assert ate < 1e-6
+    # with noise ATE ~ noise level
+    est2 = est + rng.randn(20, 3) * 0.01 / s
+    assert 0.001 < absolute_trajectory_error(est2, ref) < 0.05
+
+
+def test_camera_centers():
+    xi = jnp.asarray(np.random.RandomState(6).randn(4, 6) * 0.3)
+    R, t = se3_exp(xi)
+    C = camera_centers(np.asarray(R), np.asarray(t))
+    # R C + t == 0
+    np.testing.assert_allclose(
+        np.einsum("nij,nj->ni", np.asarray(R), C) + np.asarray(t), 0.0,
+        atol=1e-6)
