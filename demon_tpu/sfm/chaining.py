@@ -1,0 +1,136 @@
+"""Chain pairwise DeMoN predictions over an image sequence into a
+trajectory: batched pairwise inference -> monocular scale propagation ->
+pose graph -> optional bundle adjustment.
+
+Scale propagation: each pair's translation is unit-norm with depth scaled
+to match (the network's training convention), so consecutive pairs live
+at different scales. Pair k predicts depth for frame k; reprojecting that
+depth into frame k+1 and comparing against pair k+1's depth (median z
+ratio — the view_tools.compute_depth_ratios statistic) links the scales.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..data.host_geometry import angleaxis_to_rotation_matrix
+from ..data.view import View
+from ..tools.view_tools import compute_depth_ratios
+from .pose_graph import PoseGraphEdge, chain_relative_poses, optimize_pose_graph
+
+
+def predict_sequence_pairs(engine, params, images: np.ndarray,
+                           intrinsics: Optional[np.ndarray] = None) -> Dict:
+    """Run the engine on all consecutive pairs of a sequence at once.
+
+    images: [N, H, W, 3] float32 in [-0.5, 0.5] at the network resolution.
+    Returns dict with rotation [N-1, 3], translation [N-1, 3],
+    depth (inverse) [N-1, h, w].
+    """
+    import jax.numpy as jnp
+
+    from ..models import DEMON_INTRINSICS
+    from ..ops import recursive_median_downsample
+
+    n = images.shape[0]
+    image_pair = np.concatenate([images[:-1], images[1:]], axis=-1)
+    image2 = jnp.asarray(images[1:])
+    image2_2 = recursive_median_downsample(image2, 2)[-1]
+    if intrinsics is None:
+        intrinsics = np.broadcast_to(DEMON_INTRINSICS, (n - 1, 4))
+    out = engine.predict(params, jnp.asarray(image_pair), image2_2,
+                         jnp.asarray(intrinsics))
+    return {
+        "rotation": np.asarray(out.prediction.rotation, np.float64),
+        "translation": np.asarray(out.prediction.translation, np.float64),
+        "inv_depth2": np.asarray(out.prediction.depth2)[..., 0],
+        "depth_refined": np.asarray(out.depth_refined)[..., 0],
+    }
+
+
+def propagate_scales(inv_depths: np.ndarray, rotations: np.ndarray,
+                     translations: np.ndarray,
+                     intrinsics_norm: np.ndarray) -> np.ndarray:
+    """Per-pair scale factors s_k (s_0 = 1) linking unit-baseline pairs.
+
+    inv_depths: [P, h, w] inverse depth of frame k from pair k.
+    rotations/translations: [P, 3] relative motion of pair k (unit t).
+    Returns scales [P].
+    """
+    p, h, w = inv_depths.shape
+    K = np.array([
+        [intrinsics_norm[0] * w, 0, intrinsics_norm[2] * w],
+        [0, intrinsics_norm[1] * h, intrinsics_norm[3] * h],
+        [0, 0, 1.0],
+    ])
+    scales = np.ones(p)
+    for k in range(p - 1):
+        with np.errstate(divide="ignore"):
+            depth_k = 1.0 / inv_depths[k]
+            depth_k1 = 1.0 / inv_depths[k + 1]
+        R = angleaxis_to_rotation_matrix(rotations[k])
+        t = translations[k]
+        # view1 = frame k in its own camera frame; view2 = frame k+1 with
+        # the pair-k relative pose (world := frame k camera frame)
+        v1 = View(R=np.eye(3), t=np.zeros(3), K=K, image=None,
+                  depth=depth_k.astype(np.float32), depth_metric="camera_z")
+        v2 = View(R=R, t=t, K=K, image=None,
+                  depth=depth_k1.astype(np.float32), depth_metric="camera_z")
+        ratios = compute_depth_ratios(v1, v2)
+        valid = np.isfinite(ratios)
+        if valid.sum() < 16:
+            ratio = 1.0
+        else:
+            # z_projected(scale of pair k) / z_stored(scale of pair k+1)
+            ratio = float(np.median(ratios[valid]))
+        scales[k + 1] = scales[k] * ratio
+    return scales
+
+
+def chain_sequence(engine, params, images: np.ndarray,
+                   intrinsics: Optional[np.ndarray] = None,
+                   pose_graph_iterations: int = 10
+                   ) -> Dict[str, np.ndarray]:
+    """images [N, H, W, 3] -> optimized trajectory.
+
+    Returns dict with R [N, 3, 3], t [N, 3] (world-to-cam, frame 0 =
+    identity, scale of pair 0), per-pair scales, and raw pairwise
+    predictions.
+    """
+    import jax.numpy as jnp
+
+    from ..models import DEMON_INTRINSICS
+
+    preds = predict_sequence_pairs(engine, params, images, intrinsics)
+    intr = np.asarray(intrinsics[0] if intrinsics is not None
+                      else DEMON_INTRINSICS)
+    scales = propagate_scales(preds["inv_depth2"], preds["rotation"],
+                              preds["translation"], intr)
+
+    R_rel = np.stack([angleaxis_to_rotation_matrix(aa)
+                      for aa in preds["rotation"]])
+    t_rel = preds["translation"] * scales[:, None]
+
+    R_init, t_init = chain_relative_poses(
+        jnp.asarray(R_rel, jnp.float32), jnp.asarray(t_rel, jnp.float32))
+
+    n = images.shape[0]
+    edges = PoseGraphEdge(
+        i=jnp.arange(n - 1, dtype=jnp.int32),
+        j=jnp.arange(1, n, dtype=jnp.int32),
+        R_ij=jnp.asarray(R_rel, jnp.float32),
+        t_ij=jnp.asarray(t_rel, jnp.float32),
+        weight=jnp.ones(n - 1, jnp.float32),
+    )
+    R_opt, t_opt, costs = optimize_pose_graph(
+        R_init, t_init, edges, iterations=pose_graph_iterations)
+
+    return {
+        "R": np.asarray(R_opt, np.float64),
+        "t": np.asarray(t_opt, np.float64),
+        "scales": scales,
+        "pairwise": preds,
+        "pose_graph_costs": np.asarray(costs),
+    }
