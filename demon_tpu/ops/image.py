@@ -17,6 +17,29 @@ import jax
 import jax.numpy as jnp
 
 
+def _median9(t):
+    """Median of 9 same-shaped arrays via the 19-comparator exchange
+    network (Smith 1996) — pure min/max, fuses to VPU elementwise ops
+    instead of a materialized sort. NaN behavior matches jnp.sort's
+    nan-last ordering closely enough for depth pyramids: a window returns
+    NaN only when NaNs reach the median position."""
+    def mn(a, b):
+        return jnp.minimum(a, b)
+
+    def mx(a, b):
+        return jnp.maximum(a, b)
+
+    p = list(t)
+    # exchange(i, j): p[i] <- min, p[j] <- max (canonical 19-op network)
+    for i, j in ((1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7),
+                 (1, 2), (4, 5), (7, 8),
+                 (0, 3), (5, 8), (4, 7),
+                 (3, 6), (1, 4), (2, 5),
+                 (4, 7), (4, 2), (6, 4), (4, 2)):
+        p[i], p[j] = mn(p[i], p[j]), mx(p[i], p[j])
+    return p[4]
+
+
 def median3x3_downsample(x: jax.Array) -> jax.Array:
     """3x3 median filter + 2x downsample. x: [B, H, W, C] -> [B, H/2, W/2, C].
 
@@ -27,14 +50,17 @@ def median3x3_downsample(x: jax.Array) -> jax.Array:
     if H % 2 or W % 2:
         raise ValueError(f"H and W must be even, got {x.shape}")
     padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    # gather the 9 taps of each window at stride 2
-    taps = []
-    for oy in range(3):
-        for ox in range(3):
-            taps.append(padded[:, oy : oy + H : 2, ox : ox + W : 2, :])
-    stacked = jnp.stack(taps, axis=-1)  # [B, H/2, W/2, C, 9]
-    s = jnp.sort(stacked, axis=-1)
-    return s[..., 4]
+    # the 9 taps of each window at stride 2
+    taps = [padded[:, oy : oy + H : 2, ox : ox + W : 2, :]
+            for oy in range(3) for ox in range(3)]
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        # nan-last ordering like jnp.sort: min/max would propagate NaN and
+        # make invalid pixels GROW across pyramid levels instead of shrink
+        big = jnp.asarray(jnp.inf, x.dtype)
+        taps = [jnp.where(jnp.isnan(t), big, t) for t in taps]
+        med = _median9(taps)
+        return jnp.where(jnp.isinf(med), jnp.asarray(jnp.nan, x.dtype), med)
+    return _median9(taps)
 
 
 def recursive_median_downsample(x: jax.Array, iterations: int):
