@@ -27,6 +27,7 @@ from .view_io import (
 )
 from .reader import MultiViH5DataReader, ReaderParams, SourceParams
 from .pipeline import device_prefetch
+from .helpers import add_sources
 
 __all__ = [
     "View",
@@ -42,4 +43,5 @@ __all__ = [
     "ReaderParams",
     "SourceParams",
     "device_prefetch",
+    "add_sources",
 ]

@@ -70,7 +70,13 @@ class SourceParams:
         unknown = set(obj) - known
         if unknown:
             raise ValueError(f"unknown source keys {sorted(unknown)}")
-        weight = [(int(kf["t"]), float(kf["v"])) for kf in obj.get("weight", [])]
+        w = obj.get("weight", [])
+        if isinstance(w, (int, float)):
+            # scalar weight shorthand (reference add_sources emits floats,
+            # datareader/helpers.py:55)
+            weight = [(0, float(w))]
+        else:
+            weight = [(int(kf["t"]), float(kf["v"])) for kf in w]
         if not weight:
             weight = [(0, 1.0)]
         aug = hg.PhotometricAugParams(
@@ -406,7 +412,15 @@ class _BatchBuilder(threading.Thread):
                     else:
                         img = _area_resize_uint8(img, sh, sw)
                     rng = p.image_range_max - p.image_range_min
-                    cam.image = img.astype(np.float32) * (rng / 255.0) + p.image_range_min
+                    imgf = img.astype(np.float32) * (rng / 255.0) + p.image_range_min
+                    if p.convert_to_gray_values:
+                        # reference's BGR gray weights 5/32, 16/32, 11/32
+                        # (convertBGRToFloatGray, multivih5datareader.cpp:
+                        # 317-339); in RGB order: r*11/32 + g*16/32 + b*5/32
+                        imgf = (imgf[..., 0:1] * (11 / 32)
+                                + imgf[..., 1:2] * (16 / 32)
+                                + imgf[..., 2:3] * (5 / 32))
+                    cam.image = imgf
                 if cam.depth_bytes is not None:
                     count = cam.height * cam.width
                     if use_native:
@@ -556,7 +570,9 @@ class _BatchBuilder(threading.Thread):
                 img = img[:, ::-1]
             img = np.ascontiguousarray(img)
             src = p.source[scene.source_id]
-            if not p.test_phase and src.aug.any():
+            # photometric augmentation is color-only (reference
+            # augmentImage asserts 6 channels, multivih5datareader.cpp:646)
+            if not p.test_phase and src.aug.any() and img.shape[-1] == 6:
                 img = hg.augment_image_pair(img, src.aug, self.rng)
             out["IMAGE_PAIR"] = img
 

@@ -10,8 +10,14 @@ FLOPs land on the MXU, no gathers.
 
 Cost: HW x HW x C MACs per image — at the 48x64 operating point where
 DeMoN warps (blocks_original.py:171, image2_2), that is ~28M MACs, noise
-for the MXU. The jnp fallback stays the default for very large images
-where the quadratic term would dominate.
+for the MXU.
+
+Measured on v5e (B=16, 48x64x3, standalone dispatch): 1.93 ms/call vs
+1.08 ms/call for the jnp gather version — both dominated by dispatch
+overhead at this size, and inside the fused pipeline XLA fuses the
+gather with its producers. The jnp version therefore remains the default
+(ops.warp2d); this kernel is kept as the MXU alternative for standalone
+large-batch warping workloads.
 """
 
 from __future__ import annotations

@@ -15,6 +15,8 @@ from .view_tools import (
     compute_view_distances,
     compute_view_angle,
     compute_flow_from_views,
+    create_image_overview,
+    visualize_views,
 )
 from .helpers import (
     measure_sharpness,
@@ -33,6 +35,8 @@ __all__ = [
     "compute_view_distances",
     "compute_view_angle",
     "compute_flow_from_views",
+    "create_image_overview",
+    "visualize_views",
     "measure_sharpness",
     "safe_crop_image",
     "safe_crop_array2d",

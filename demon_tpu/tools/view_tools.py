@@ -205,3 +205,41 @@ def compute_view_angle(view1: View, view2: View) -> float:
     a1 = np.asarray(view1.R)[2]
     a2 = np.asarray(view2.R)[2]
     return float(np.arccos(np.clip(a1 @ a2, -1.0, 1.0)))
+
+
+def create_image_overview(views: Sequence[View]):
+    """Horizontal strip of all view images at height 128
+    (reference view_tools.py:249-277)."""
+    from .helpers import concat_images_horizontal
+
+    imgs = []
+    for v in views:
+        img = _to_pil(v.image)
+        w = int(round(img.width * 128 / img.height))
+        imgs.append(img.resize((w, 128)))
+    return concat_images_horizontal(imgs)
+
+
+def visualize_views(views: Sequence[View], export_ply_prefix: str = "views_"):
+    """Point-cloud visualization of a set of views: VTK viewer when
+    available, PLY export otherwise (reference view_tools.py:280-384
+    is VTK-only)."""
+    from ..vis import camera_mesh, compute_point_cloud_from_depthmap, write_ply
+
+    clouds = []
+    for i, v in enumerate(views):
+        if v.depth is None:
+            continue
+        colors = None
+        if v.image is not None:
+            colors = np.transpose(np.asarray(_to_pil(v.image)), (2, 0, 1))
+        clouds.append(compute_point_cloud_from_depthmap(
+            np.asarray(v.depth, np.float32), v.K, v.R, v.t, colors=colors))
+    if clouds:
+        write_ply(export_ply_prefix + "points.ply",
+                  np.concatenate([c["points"] for c in clouds]),
+                  colors=(np.concatenate([c["colors"] for c in clouds])
+                          if all("colors" in c for c in clouds) else None))
+    for i, v in enumerate(views):
+        verts, tris = camera_mesh(v.R, v.t)
+        write_ply(f"{export_ply_prefix}cam{i}.ply", verts, faces=tris)

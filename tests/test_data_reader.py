@@ -216,3 +216,34 @@ def test_reader_augmentation_fixups(sculpture_h5):
         np.testing.assert_allclose(
             aug["DEPTH"][i], plain["DEPTH"][j][::-1, ::-1], atol=1e-6,
             equal_nan=True)
+
+
+def test_reader_gray_values(sculpture_h5):
+    params = _reader_params(sculpture_h5, convert_to_gray_values=True,
+                            top_output=("IMAGE_PAIR", "MOTION", "INTRINSICS"))
+    with MultiViH5DataReader(params) as reader:
+        batch = reader.get_batch(timeout=60)
+    assert batch["IMAGE_PAIR"].shape == (2, 96, 128, 2)
+    assert batch["IMAGE_PAIR"].min() >= -0.5001
+    assert batch["IMAGE_PAIR"].max() <= 0.5001
+
+
+def test_reader_photometric_augmentation(sculpture_h5):
+    params = _reader_params(sculpture_h5)
+    params["source"] = [{
+        "path": sculpture_h5,
+        "weight": [{"t": 0, "v": 1.0}],
+        "aug_hsv_hue": {"uniform": {"a": 30.0, "b": 30.0}},
+        "aug_brightness": {"normal": {"mean": 0.1, "stddev": 0.0}},
+    }]
+    with MultiViH5DataReader(params) as r_aug:
+        aug = r_aug.get_batch(timeout=60)
+    with MultiViH5DataReader(_reader_params(sculpture_h5)) as r_plain:
+        plain = r_plain.get_batch(timeout=60)
+    i = plain["SAMPLE_IDS"].index(aug["SAMPLE_IDS"][0])
+    # images must differ but stay in range
+    assert np.abs(aug["IMAGE_PAIR"][0] - plain["IMAGE_PAIR"][i]).mean() > 0.01
+    assert aug["IMAGE_PAIR"].min() >= -0.5001
+    assert aug["IMAGE_PAIR"].max() <= 0.5001
+    # geometry untouched
+    np.testing.assert_allclose(aug["MOTION"][0], plain["MOTION"][i], atol=1e-6)
