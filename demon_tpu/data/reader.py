@@ -128,6 +128,12 @@ class ReaderParams:
     depthmask_border1: int = 3
     depthmask_border2: int = 5
     seed: int = 0
+    # multi-host input sharding: this reader serves shard `host_id` of
+    # `num_hosts`, taking every num_hosts-th sample group. The reference
+    # has one reader per (single-GPU) process; on a TPU pod each host runs
+    # its own reader over a disjoint shard.
+    host_id: int = 0
+    num_hosts: int = 1
 
     @staticmethod
     def from_json(param_json) -> "ReaderParams":
@@ -155,6 +161,9 @@ class ReaderParams:
         if self.test_phase and len(self.source) != 1:
             raise ValueError("test_phase requires exactly one source "
                              "(reference multivih5datareaderop README:114)")
+        if not (0 <= self.host_id < self.num_hosts):
+            raise ValueError(f"host_id {self.host_id} out of range for "
+                             f"{self.num_hosts} hosts")
 
 
 # ---------------------------------------------------------------------------
@@ -205,15 +214,19 @@ def _area_resize_uint8(img: np.ndarray, h: int, w: int) -> np.ndarray:
     return np.asarray(Image.fromarray(img).resize((w, h), Image.BOX))
 
 
-def count_sample_groups(h5_paths: Sequence[str]) -> int:
-    """Number of non-reserved root groups over all files (reference
-    countSampleGroups, multivih5datareader.cpp:1070-1081)."""
+def count_sample_groups(h5_paths: Sequence[str], host_id: int = 0,
+                        num_hosts: int = 1) -> int:
+    """Number of non-reserved root groups over all files — for this
+    host's shard when num_hosts > 1 (reference countSampleGroups,
+    multivih5datareader.cpp:1070-1081)."""
     import h5py
 
     n = 0
     for path in h5_paths:
         with h5py.File(path, "r") as f:
-            n += sum(1 for k in f.keys() if not k.startswith("."))
+            groups = sorted(k for k in f.keys() if not k.startswith("."))
+            n += len(groups[host_id::num_hosts]) if num_hosts > 1 \
+                else len(groups)
     return n
 
 
@@ -250,13 +263,16 @@ class _SceneProducer(threading.Thread):
         paths = list(self._h5_paths[src_idx])
         if not self.params.test_phase:
             self.rng.shuffle(paths)
+        p = self.params
         while True:
             for path in paths:
                 with h5py.File(path, "r") as f:
-                    groups = [k for k in f.keys() if not k.startswith(".")]
-                    if self.params.test_phase:
-                        groups.sort()
-                    else:
+                    groups = sorted(k for k in f.keys()
+                                    if not k.startswith("."))
+                    # stable per-host shard before any shuffling
+                    if p.num_hosts > 1:
+                        groups = groups[p.host_id :: p.num_hosts]
+                    if not p.test_phase:
                         self.rng.shuffle(groups)
                     for g in groups:
                         yield path, f, g
@@ -700,7 +716,7 @@ class MultiViH5DataReader:
         self.test_iterations = -1
         if p.test_phase:
             paths = p.source[0].path.split(";")
-            n = count_sample_groups(paths)
+            n = count_sample_groups(paths, p.host_id, p.num_hosts)
             if n % p.batch_size != 0:
                 raise ValueError(
                     f"test phase requires num_samples % batch_size == 0, "

@@ -247,3 +247,27 @@ def test_reader_photometric_augmentation(sculpture_h5):
     assert aug["IMAGE_PAIR"].max() <= 0.5001
     # geometry untouched
     np.testing.assert_allclose(aug["MOTION"][0], plain["MOTION"][i], atol=1e-6)
+
+
+def test_reader_multi_host_sharding(tmp_path):
+    """Two hosts see disjoint group shards covering everything exactly
+    once in test mode."""
+    path = str(tmp_path / "shard.h5")
+    views = _sculpture_views()
+    with h5py.File(path, "w") as f:
+        for g in range(4):
+            for i, v in enumerate(views):
+                write_view(f.require_group(f"g{g:02d}/frames/t0/v{i}"), v)
+            f[f"g{g:02d}/frames/t0"].attrs["viewpoint_pairs"] = np.array(
+                [0, 1], np.int32)
+
+    seen = []
+    for host in (0, 1):
+        params = _reader_params(path, test_phase=True, batch_size=1,
+                                scene_pool_size=2, host_id=host,
+                                num_hosts=2)
+        with MultiViH5DataReader(params) as reader:
+            assert reader.test_iterations == 2
+            for batch in reader:
+                seen.extend(batch["SAMPLE_IDS"])
+    assert sorted(seen) == [f"g{g:02d}/frames/t0/v0,v1" for g in range(4)]
