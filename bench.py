@@ -20,15 +20,63 @@ import numpy as np
 REFERENCE_PAIRS_PER_S = 2.5  # estimated TF1.4 GPU baseline (see docstring)
 
 
+def bench_train():
+    """BENCH_MODE=train: evolution-0 training step throughput (192x256,
+    reference batch 32) on synthetic data."""
+    import jax
+    import jax.numpy as jnp
+
+    from demon_tpu.train.trainer import EvolutionTrainer, TrainConfig
+
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    cfg = TrainConfig(batch_size=batch)
+    trainer = EvolutionTrainer(cfg)
+    params = trainer.init_params(jax.random.key(0))
+    evo = os.environ.get("BENCH_EVO", "0_flow1")
+    opt_state = trainer.init_opt_state(evo, params)
+    step_fn = trainer.make_train_step(evo)
+
+    rng = np.random.RandomState(0)
+    H, W = cfg.height, cfg.width
+    batch_data = {
+        "IMAGE_PAIR": jnp.asarray(rng.rand(batch, H, W, 6).astype(np.float32) - 0.5),
+        "MOTION": jnp.asarray(rng.randn(batch, 6).astype(np.float32) * 0.1),
+        "DEPTH": jnp.asarray(rng.uniform(0.3, 2.0, (batch, H, W, 1)).astype(np.float32)),
+        "INTRINSICS": jnp.asarray(
+            np.tile(np.array([[0.89, 1.19, 0.5, 0.5]], np.float32), (batch, 1))),
+    }
+    step = jnp.zeros((), jnp.int32)
+
+    params, opt_state, metrics, _ = step_fn(params, opt_state, batch_data,
+                                            step, None)
+    float(metrics["total_loss"])  # compile fence
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, metrics, _ = step_fn(params, opt_state,
+                                                batch_data, step, None)
+    float(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+    samples_per_s = batch * iters / dt
+    print(json.dumps({
+        "metric": f"demon_train_{evo}_samples_per_s_per_chip",
+        "value": round(samples_per_s, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_s / 30.0, 2),  # est. TF1.4 GPU
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_MODE", "infer") == "train":
+        return bench_train()
     import jax
     import jax.numpy as jnp
 
     from demon_tpu.engine.inference import DemonEngine
     from demon_tpu.models import DEMON_INTRINSICS
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
-    iters = int(os.environ.get("BENCH_ITERS", "50"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
     # serving dtype: bfloat16 rides the MXU at full rate; geometry ops
     # inside the blocks stay fp32 (see models/blocks.py)
     dtype = jnp.bfloat16 if os.environ.get(

@@ -125,13 +125,19 @@ class IterativeNet(nn.Module):
 
 class RefinementNet(nn.Module):
     """netRefine: upsample the level-2 depth to full resolution guided by
-    image 1 (reference networks_original.py:202-255)."""
+    image 1 (reference networks_original.py:202-255).
+
+    `normal2` is accepted but unused — the reference v2 eval() feeds a
+    normal2 placeholder the block never reads (v2/networks.py:204-227);
+    the quirk is preserved at the API level only."""
 
     variant: str = "v1"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, image1: jax.Array, depth2: jax.Array):
+    def __call__(self, image1: jax.Array, depth2: jax.Array,
+                 normal2: jax.Array = None):
+        del normal2
         return RefinementBlock(self.variant, self.dtype, name="netRefine")(
             image1, depth2
         )

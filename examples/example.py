@@ -28,6 +28,9 @@ def main():
                     help="orbax checkpoint dir produced by the converter")
     ap.add_argument("--export-ply", default="prediction_",
                     help="output prefix for the PLY point cloud")
+    ap.add_argument("--variant", default="v1", choices=("v1", "v2"),
+                    help="v1 = released-weights architecture, v2 = "
+                         "trainable architecture (reference example_v2.py)")
     args = ap.parse_args()
 
     import jax
@@ -40,7 +43,7 @@ def main():
     img2 = np.asarray(Image.open(args.image2).convert("RGB"))
     inputs = prepare_input_pair(img1, img2)
 
-    engine = DemonEngine(variant="v1", iterations=3)
+    engine = DemonEngine(variant=args.variant, iterations=3)
     if args.weights:
         from demon_tpu.tools.converter import load_params
 

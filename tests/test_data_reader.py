@@ -271,3 +271,58 @@ def test_reader_multi_host_sharding(tmp_path):
             for batch in reader:
                 seen.extend(batch["SAMPLE_IDS"])
     assert sorted(seen) == [f"g{g:02d}/frames/t0/v0,v1" for g in range(4)]
+
+
+@pytest.mark.parametrize("fmt,dim", [("ANGLEAXIS7", 7), ("QUATERNION", 7),
+                                     ("FMATRIX", 8)])
+def test_reader_motion_encodings(sculpture_h5, fmt, dim):
+    params = _reader_params(sculpture_h5, motion_format=fmt,
+                            top_output=("IMAGE_PAIR", "MOTION", "INTRINSICS"))
+    with MultiViH5DataReader(params) as reader:
+        batch = reader.get_batch(timeout=60)
+    m = batch["MOTION"]
+    assert m.shape == (2, dim)
+    views = _sculpture_views()
+    idx = [i for i, s in enumerate(batch["SAMPLE_IDS"]) if "v0,v1" in s][0]
+    R1, t1 = views[0].R, views[0].t
+    R2, t2 = views[1].R, views[1].t
+    R12 = R2 @ R1.T
+    t12 = t2 - R12 @ t1
+    t12n = t12 / np.linalg.norm(t12)
+    if fmt == "ANGLEAXIS7":
+        aa = hg.rotation_matrix_to_angleaxis(R12)
+        mag = np.linalg.norm(aa)
+        np.testing.assert_allclose(m[idx, 0], mag, atol=1e-5)
+        np.testing.assert_allclose(m[idx, 1:4], aa / mag, atol=1e-5)
+        np.testing.assert_allclose(m[idx, 4:], t12n, atol=1e-5)
+    elif fmt == "QUATERNION":
+        q = hg.rotation_matrix_to_quaternion(R12)
+        np.testing.assert_allclose(m[idx, :4], q, atol=1e-5)
+        np.testing.assert_allclose(m[idx, 4:], t12n, atol=1e-5)
+    else:  # FMATRIX: column-major normalized F without the last element;
+        # the reader composes P from the NORMALIZED intrinsics (K is
+        # normalized by prepareScene before the encoding step)
+        P1 = _norm_K(views[0]) @ np.hstack([R1, t1.reshape(3, 1)])
+        P2 = _norm_K(views[1]) @ np.hstack([R2, t2.reshape(3, 1)])
+        F = hg.compute_fundamental_from_cameras(P1, P2)
+        Fn = (F / F[2, 2]).T.reshape(-1)[:8]
+        np.testing.assert_allclose(m[idx], Fn, rtol=1e-4, atol=1e-4)
+
+
+def test_fundamental_matrix_epipolar_constraint():
+    """x2' F x1 = 0 for corresponding points of a synthetic two-view
+    setup (sanity for compute_fundamental_from_cameras)."""
+    rng = np.random.RandomState(0)
+    K = np.array([[100.0, 0, 50], [0, 100.0, 40], [0, 0, 1]])
+    R1, t1 = np.eye(3), np.zeros(3)
+    R2 = hg.angleaxis_to_rotation_matrix(rng.randn(3) * 0.1)
+    t2 = rng.randn(3)
+    P1 = K @ np.hstack([R1, t1.reshape(3, 1)])
+    P2 = K @ np.hstack([R2, t2.reshape(3, 1)])
+    F = hg.compute_fundamental_from_cameras(P1, P2)
+    for _ in range(10):
+        X = np.append(rng.randn(3) * 2 + [0, 0, 5], 1.0)
+        x1 = P1 @ X
+        x2 = P2 @ X
+        val = x2 @ F @ x1 / (np.linalg.norm(x1) * np.linalg.norm(x2))
+        assert abs(val) < 1e-6 * max(1.0, abs(F[2, 2]))
