@@ -74,6 +74,14 @@ def _declare(lib):
                                             c.c_int, c.c_int, f32p]
     lib.demon_ray_length_to_z.restype = None
     lib.demon_ray_length_to_z.argtypes = [f32p, c.c_int, c.c_int, f64p]
+    lib.demon_assemble_image_pair.restype = None
+    lib.demon_assemble_image_pair.argtypes = [
+        u8p, u8p, c.c_int, c.c_int, c.c_float, c.c_float, c.c_int, c.c_int,
+        f32p]
+    lib.demon_prepare_depth.restype = None
+    lib.demon_prepare_depth.argtypes = [
+        f32p, c.c_int, c.c_int, c.c_float, c.c_int, c.c_float, c.c_float,
+        c.c_int, c.c_int, f32p]
 
 
 def available() -> bool:
@@ -163,6 +171,39 @@ def compute_depthmask(depth, K1n, R1, t1, K2n, R2, t2, border1, border2
         np.ascontiguousarray(R2, np.float64),
         np.ascontiguousarray(t2, np.float64),
         int(border1), int(border2), out)
+    return out
+
+
+def assemble_image_pair(img1_u8: np.ndarray, img2_u8: np.ndarray,
+                        range_min: float, range_span: float,
+                        rot180: bool, mirror_x: bool) -> Optional[np.ndarray]:
+    """Fused u8->float + RGBRGB concat + flips; [h,w,3]x2 -> [h,w,6]."""
+    lib = _load()
+    if lib is None:
+        return None
+    img1_u8 = np.ascontiguousarray(img1_u8, np.uint8)
+    img2_u8 = np.ascontiguousarray(img2_u8, np.uint8)
+    h, w = img1_u8.shape[:2]
+    out = np.empty((h, w, 6), np.float32)
+    lib.demon_assemble_image_pair(img1_u8, img2_u8, h, w,
+                                  float(range_min), float(range_span),
+                                  int(rot180), int(mirror_x), out)
+    return out
+
+
+def prepare_depth(depth: np.ndarray, scale: float, inverse: bool,
+                  min_d: float, max_d: float, rot180: bool,
+                  mirror_x: bool) -> Optional[np.ndarray]:
+    """Fused depth invalidation/scale/inversion/flips."""
+    lib = _load()
+    if lib is None:
+        return None
+    depth = np.ascontiguousarray(depth, np.float32)
+    h, w = depth.shape
+    out = np.empty((h, w), np.float32)
+    lib.demon_prepare_depth(depth, h, w, float(scale), int(inverse),
+                            float(min_d), float(max_d), int(rot180),
+                            int(mirror_x), out)
     return out
 
 

@@ -134,6 +134,10 @@ class ReaderParams:
     # its own reader over a disjoint shard.
     host_id: int = 0
     num_hosts: int = 1
+    # pre-decoded scene cache (data/cache.py): when set, sources that have
+    # been cached with build_scene_cache are served from memmapped raw
+    # arrays, skipping WebP/LZ4 decode entirely
+    cache_dir: Optional[str] = None
 
     @staticmethod
     def from_json(param_json) -> "ReaderParams":
@@ -171,8 +175,8 @@ class ReaderParams:
 # ---------------------------------------------------------------------------
 
 class _Camera:
-    __slots__ = ("K", "R", "t", "width", "height", "image", "depth",
-                 "depth_metric", "image_bytes", "depth_bytes")
+    __slots__ = ("K", "R", "t", "width", "height", "image", "image_u8",
+                 "depth", "depth_metric", "image_bytes", "depth_bytes")
 
     def __init__(self):
         self.K = None          # normalized 3x3 after prepare
@@ -181,6 +185,7 @@ class _Camera:
         self.width = 0
         self.height = 0
         self.image = None      # float32 [H,W,3] in [range_min, range_max]
+        self.image_u8 = None   # uint8 [H,W,3] (cache path; assembled in C)
         self.depth = None      # float32 [H,W] camera_z
         self.depth_metric = "camera_z"
         self.image_bytes = None
@@ -188,13 +193,15 @@ class _Camera:
 
 
 class _Scene:
-    __slots__ = ("scene_id", "source_id", "cameras", "combinations")
+    __slots__ = ("scene_id", "source_id", "cameras", "combinations",
+                 "prepared")
 
     def __init__(self, scene_id: str, source_id: int):
         self.scene_id = scene_id
         self.source_id = source_id
         self.cameras: List[List[_Camera]] = []
         self.combinations: List[Tuple[int, int]] = []
+        self.prepared = False  # True when served pre-decoded from cache
 
 
 def _nearest_resize(a: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -252,7 +259,41 @@ class _SceneProducer(threading.Thread):
         self.iteration = 0
         # per-source iteration state
         self._h5_paths = [s.path.split(";") for s in params.source]
+        self._caches = [self._open_cache(s) for s in params.source]
         self._group_iters = [self._group_iter(i) for i in range(len(params.source))]
+        self._cache_iters = [
+            self._cache_iter(i) if self._caches[i] is not None else None
+            for i in range(len(params.source))
+        ]
+
+    def _open_cache(self, src):
+        if self.params.cache_dir is None:
+            return None
+        import os
+
+        from .cache import SceneCache, cache_key
+
+        key = cache_key(src.path, self.params.scaled_height,
+                        self.params.scaled_width, False)
+        subdir = os.path.join(self.params.cache_dir, key)
+        if not os.path.isfile(os.path.join(subdir, "index.json")):
+            return None
+        return SceneCache(subdir)
+
+    def _cache_iter(self, src_idx: int):
+        """Infinite iterator over cached scene entries; shuffled in train,
+        sorted in test; sharded per host."""
+        cache = self._caches[src_idx]
+        p = self.params
+        entries = sorted(cache.scenes, key=lambda e: e["id"])
+        if p.num_hosts > 1:
+            entries = entries[p.host_id :: p.num_hosts]
+        while True:
+            order = list(entries)
+            if not p.test_phase:
+                self.rng.shuffle(order)
+            for e in order:
+                yield e
 
     def _group_iter(self, src_idx: int):
         """Infinite (file, group) generator for one source; shuffled in
@@ -303,6 +344,13 @@ class _SceneProducer(threading.Thread):
 
     def _load_scene(self, src_idx: int) -> Optional[_Scene]:
         params = self.params
+        if self._cache_iters[src_idx] is not None:
+            entry = next(self._cache_iters[src_idx])
+            self.iteration += 1
+            scene = self._caches[src_idx].load(entry, params)
+            scene.source_id = src_idx
+            scene.prepared = True
+            return scene
         path, f, group = next(self._group_iters[src_idx])
         self.iteration += 1
         scene = _Scene(group, src_idx)
@@ -539,7 +587,9 @@ class _BatchBuilder(threading.Thread):
                 scene = self.r.scene_queue.get(timeout=0.1)
             except queue.Empty:
                 continue
-            self._prepare_scene(scene)
+            if not scene.prepared:
+                self._prepare_scene(scene)
+                scene.prepared = True
             return scene
         return None
 
@@ -579,12 +629,25 @@ class _BatchBuilder(threading.Thread):
 
         # ---- images ----
         if "IMAGE_PAIR" in p.top_output:
-            img = np.concatenate([cam1.image, cam2.image], axis=-1)
-            if rotate180:
-                img = img[::-1, ::-1]
-            if mirror_x:
-                img = img[:, ::-1]
-            img = np.ascontiguousarray(img)
+            span = p.image_range_max - p.image_range_min
+            if cam1.image_u8 is not None and native.available():
+                # fused C path (releases the GIL -> builder threads scale)
+                img = native.assemble_image_pair(
+                    cam1.image_u8, cam2.image_u8, p.image_range_min, span,
+                    rotate180, mirror_x)
+            else:
+                im1, im2 = cam1.image, cam2.image
+                if im1 is None:  # cached u8 without native library
+                    im1 = cam1.image_u8.astype(np.float32) * (span / 255.0) \
+                        + p.image_range_min
+                    im2 = cam2.image_u8.astype(np.float32) * (span / 255.0) \
+                        + p.image_range_min
+                img = np.concatenate([im1, im2], axis=-1)
+                if rotate180:
+                    img = img[::-1, ::-1]
+                if mirror_x:
+                    img = img[:, ::-1]
+                img = np.ascontiguousarray(img)
             src = p.source[scene.source_id]
             # photometric augmentation is color-only (reference
             # augmentImage asserts 6 channels, multivih5datareader.cpp:646)
@@ -621,21 +684,26 @@ class _BatchBuilder(threading.Thread):
             ds = [cam1.depth] + ([cam2.depth] if p.depth_pair else [])
             chans = []
             for d in ds:
-                d = d.copy()
-                invalid = d == 0
-                if p.max_depth > 0:
-                    invalid |= d > p.max_depth
-                if p.min_depth > 0:
-                    invalid |= d < p.min_depth
-                d *= depth_scale_factor
-                if p.inverse_depth:
-                    with np.errstate(divide="ignore"):
-                        d = 1.0 / d
-                d[invalid] = np.nan
-                if rotate180:
-                    d = d[::-1, ::-1]
-                if mirror_x:
-                    d = d[:, ::-1]
+                if native.available():
+                    d = native.prepare_depth(
+                        d, depth_scale_factor, p.inverse_depth,
+                        p.min_depth, p.max_depth, rotate180, mirror_x)
+                else:
+                    d = d.copy()
+                    invalid = d == 0
+                    if p.max_depth > 0:
+                        invalid |= d > p.max_depth
+                    if p.min_depth > 0:
+                        invalid |= d < p.min_depth
+                    d *= depth_scale_factor
+                    if p.inverse_depth:
+                        with np.errstate(divide="ignore"):
+                            d = 1.0 / d
+                    d[invalid] = np.nan
+                    if rotate180:
+                        d = d[::-1, ::-1]
+                    if mirror_x:
+                        d = d[:, ::-1]
                 chans.append(d)
             out["DEPTH"] = np.ascontiguousarray(np.stack(chans, axis=-1))
 
@@ -748,7 +816,9 @@ class MultiViH5DataReader:
                 scene = self.scene_queue.get(timeout=0.5)
             except queue.Empty:
                 continue
-            bootstrap_builder._prepare_scene(scene)
+            if not scene.prepared:
+                bootstrap_builder._prepare_scene(scene)
+                scene.prepared = True
             self.pool.append((scene, 0))
 
         self.builders = [_BatchBuilder(self, i) for i in range(n_threads)]

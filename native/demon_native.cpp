@@ -307,6 +307,65 @@ void demon_ray_length_to_z(float* depth, int h, int w, const double* K1n) {
   }
 }
 
-int demon_native_version(void) { return 1; }
+// ---------------------------------------------------------------------------
+// batch-item assembly (the per-item hot path of the builder thread;
+// called via ctypes so the GIL is released and builder threads scale)
+// ---------------------------------------------------------------------------
+
+// Fused u8->float conversion + RGBRGB concat + rot180/mirror flip.
+// img1/img2: [h, w, 3] uint8; out: [h, w, 6] float32 in
+// [range_min, range_min + range_span].
+void demon_assemble_image_pair(const uint8_t* img1, const uint8_t* img2,
+                               int h, int w, float range_min,
+                               float range_span, int rot180, int mirror_x,
+                               float* out) {
+  const float scale = range_span / 255.0f;
+// (no omp here: builder THREADS are the parallelism; nested omp
+  // teams would oversubscribe the host cores)
+  for (int y = 0; y < h; ++y) {
+    int sy = rot180 ? (h - 1 - y) : y;
+    for (int x = 0; x < w; ++x) {
+      int sx = x;
+      if (rot180) sx = w - 1 - x;
+      if (mirror_x) sx = w - 1 - sx;
+      const uint8_t* p1 = img1 + 3 * (sy * w + sx);
+      const uint8_t* p2 = img2 + 3 * (sy * w + sx);
+      float* o = out + 6 * (y * w + x);
+      for (int c = 0; c < 3; ++c) {
+        o[c] = p1[c] * scale + range_min;
+        o[3 + c] = p2[c] * scale + range_min;
+      }
+    }
+  }
+}
+
+// Fused depth postprocessing: invalidation (0 / min / max -> NaN), scale,
+// optional inversion, rot180/mirror flips. src: [h, w] float32.
+void demon_prepare_depth(const float* src, int h, int w, float scale,
+                         int inverse, float min_d, float max_d, int rot180,
+                         int mirror_x, float* out) {
+// (no omp here: builder THREADS are the parallelism; nested omp
+  // teams would oversubscribe the host cores)
+  for (int y = 0; y < h; ++y) {
+    int sy = rot180 ? (h - 1 - y) : y;
+    for (int x = 0; x < w; ++x) {
+      int sx = x;
+      if (rot180) sx = w - 1 - x;
+      if (mirror_x) sx = w - 1 - sx;
+      float d = src[sy * w + sx];
+      float v;
+      if (d == 0.0f || (max_d > 0 && d > max_d) || (min_d > 0 && d < min_d) ||
+          !std::isfinite(d)) {
+        v = NAN;
+      } else {
+        v = d * scale;
+        if (inverse) v = 1.0f / v;
+      }
+      out[y * w + x] = v;
+    }
+  }
+}
+
+int demon_native_version(void) { return 2; }
 
 }  // extern "C"

@@ -136,3 +136,85 @@ def test_reader_uses_native(tmp_path):
     # decoder settings (loop filter / fancy upsampling) and the box filter
     # differ slightly between libwebp-direct and PIL paths
     assert np.abs(b_native["IMAGE_PAIR"] - b_py["IMAGE_PAIR"]).mean() < 0.01
+
+
+def test_assemble_image_pair_matches_numpy():
+    rng = np.random.RandomState(7)
+    h, w = 24, 32
+    i1 = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    i2 = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    for rot, mir in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        got = native.assemble_image_pair(i1, i2, -0.5, 1.0, rot, mir)
+        want = np.concatenate([i1, i2], -1).astype(np.float32) / 255.0 - 0.5
+        if rot:
+            want = want[::-1, ::-1]
+        if mir:
+            want = want[:, ::-1]
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_prepare_depth_matches_numpy():
+    rng = np.random.RandomState(8)
+    d = rng.uniform(0.5, 10.0, (24, 32)).astype(np.float32)
+    d[0, 0] = 0.0
+    d[1, 1] = np.nan
+    d[2, 2] = 20.0  # above max
+    d[3, 3] = 0.6   # below min
+    got = native.prepare_depth(d, 2.0, True, 0.7, 15.0, 1, 1)
+    invalid = (d == 0) | (d > 15.0) | (d < 0.7) | ~np.isfinite(d)
+    want = 1.0 / (d * 2.0)
+    want[invalid] = np.nan
+    want = want[::-1, ::-1][:, ::-1]
+    np.testing.assert_allclose(got, want, rtol=1e-6, equal_nan=True)
+
+
+def test_cached_reader_matches_uncached(tmp_path):
+    """Batches from the pre-decoded cache must match the h5 decode path."""
+    import h5py
+
+    from demon_tpu.data import MultiViH5DataReader, View, write_view
+    from demon_tpu.data.cache import build_scene_cache
+
+    rng = np.random.RandomState(9)
+    path = str(tmp_path / "c.h5")
+    H, W = 48, 64
+    yy, xx = np.mgrid[0:H, 0:W]
+    with h5py.File(path, "w") as f:
+        for v in range(2):
+            img = np.stack([yy * 3 + v * 11, xx * 2, yy + xx],
+                           -1).astype(np.uint8)
+            depth = rng.uniform(1.0, 4.0, (H, W)).astype(np.float32)
+            K = np.array([[0.9 * W, 0, 0.5 * W], [0, 1.1 * H, 0.5 * H],
+                          [0, 0, 1.0]])
+            R = hg.angleaxis_to_rotation_matrix(rng.randn(3) * 0.05)
+            t = rng.randn(3) * 0.3
+            write_view(f.require_group(f"s/frames/t0/v{v}"),
+                       View(R=R, t=t, K=K, image=img, depth=depth,
+                            depth_metric="camera_z"))
+        f["s/frames/t0"].attrs["viewpoint_pairs"] = np.array([0, 1], np.int32)
+
+    cache_dir = str(tmp_path / "cache")
+    build_scene_cache(path, cache_dir, 48, 64, verbose=False)
+
+    base = {
+        "batch_size": 1, "test_phase": True, "builder_threads": 1,
+        "inverse_depth": True, "motion_format": "ANGLEAXIS6",
+        "norm_trans_scale_depth": True, "scaled_height": 48,
+        "scaled_width": 64, "scene_pool_size": 1,
+        "top_output": ("IMAGE_PAIR", "MOTION", "DEPTH", "INTRINSICS"),
+        "source": [{"path": path}],
+    }
+    with MultiViH5DataReader(base) as r:
+        plain = r.get_batch(timeout=60)
+    with MultiViH5DataReader({**base, "cache_dir": cache_dir}) as r:
+        cached = r.get_batch(timeout=60)
+
+    np.testing.assert_allclose(cached["MOTION"], plain["MOTION"], atol=1e-6)
+    np.testing.assert_allclose(cached["INTRINSICS"], plain["INTRINSICS"],
+                               atol=1e-6)
+    # image path identical (same u8 source)
+    np.testing.assert_allclose(cached["IMAGE_PAIR"], plain["IMAGE_PAIR"],
+                               atol=3e-3)
+    # depth via fp16 cache storage
+    np.testing.assert_allclose(cached["DEPTH"], plain["DEPTH"], rtol=2e-3,
+                               equal_nan=True)
