@@ -22,8 +22,11 @@ data/    TPU-native input pipeline: threaded HDF5 sample reader with the
 train/   Loss blocks, LR schedules, the 6-evolution training driver,
          orbax checkpointing.
 eval/    Depth/motion/flow metrics and the evaluation harness.
-tools/   Dataset tools (View IO, SUN3D ingestion), weight converter, vis.
-utils/   Config, tracing and small shared helpers.
+tools/   Dataset tools (View geometry, SUN3D ingestion), weight converter.
+sfm/     Sequence-level SfM: pose graph, Schur-complement bundle
+         adjustment (mesh-distributable), scale propagation, ATE.
+vis/     Point clouds, camera glyphs, PLY export.
+utils/   Profiling/tracing and small shared helpers.
 
 Conventions (load-bearing; see ops/__init__.py for details)
 -----------------------------------------------------------

@@ -14,6 +14,8 @@ from .losses import (
 )
 from .schedules import ease_in_quad, ease_out_quad, demon_lr_schedule
 from .trainer import EvolutionTrainer, TrainConfig, EVOLUTIONS
+from .driver import TrainingDriver
+from .checkpoint import EvolutionCheckpointer, check_numerics
 
 __all__ = [
     "l1_loss",
@@ -32,4 +34,7 @@ __all__ = [
     "EvolutionTrainer",
     "TrainConfig",
     "EVOLUTIONS",
+    "TrainingDriver",
+    "EvolutionCheckpointer",
+    "check_numerics",
 ]
