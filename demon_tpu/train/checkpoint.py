@@ -62,13 +62,13 @@ class EvolutionCheckpointer:
         return step, restored
 
     def restore_params(self, params_like) -> Dict[str, Any]:
-        import orbax.checkpoint as ocp
-
+        """Restore only the params subtree of the latest snapshot (the
+        stored tree also holds opt_state, whose structure differs per
+        evolution, so restore untyped and slice)."""
         step = self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.dir}")
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore({"params": params_like}))
+        restored = self._mgr.restore(step)
         return restored["params"]
 
     def close(self):

@@ -68,3 +68,21 @@ def test_evolution4_replay_mix(tmp_path, tiny_dataset):
     # both flow2 and dm2 losses present
     assert any(k.startswith("netFlow2_") for k in out["metrics"])
     assert any(k.startswith("netDM2_") for k in out["metrics"])
+
+
+def test_warm_start_chain(tmp_path, tiny_dataset):
+    """Evolution 1 warm-starts from evolution 0's final snapshot
+    (reference training/README.md:14-19)."""
+    import jax
+
+    driver = _make_driver(tmp_path, tiny_dataset)
+    out0 = driver.run_evolution("0_flow1")
+    p0_flow1 = out0["params"]["netFlow1"]
+
+    driver2 = _make_driver(tmp_path, tiny_dataset)
+    params, opt_state, step = driver2._initial_params("1_dm1")
+    assert step == 0 and opt_state is None
+    # netFlow1 weights come from the evolution-0 checkpoint
+    leaf0 = jax.tree_util.tree_leaves(p0_flow1)[0]
+    leaf1 = jax.tree_util.tree_leaves(params["netFlow1"])[0]
+    np.testing.assert_array_equal(np.asarray(leaf0), np.asarray(leaf1))
