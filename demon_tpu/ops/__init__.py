@@ -33,6 +33,13 @@ from .geometry import (
     pixel_rays,
 )
 from .warp import warp2d
+
+
+def warp2d_pallas(*args, **kwargs):
+    """Lazy import of the Pallas MXU warp kernel (see ops/pallas_warp.py)."""
+    from .pallas_warp import warp2d_pallas as _impl
+
+    return _impl(*args, **kwargs)
 from .image import (
     median3x3_downsample,
     recursive_median_downsample,
@@ -55,6 +62,7 @@ __all__ = [
     "depth_to_normals",
     "pixel_rays",
     "warp2d",
+    "warp2d_pallas",
     "median3x3_downsample",
     "recursive_median_downsample",
     "resize_nearest",
