@@ -40,7 +40,6 @@ def build_scene_cache(source_path: str, cache_dir: str,
                       verbose: bool = True) -> str:
     """Decode all scenes of `source_path` (';'-joined h5 files) into a
     cache directory; returns the cache subdirectory path. Idempotent."""
-    from . import _native as native
     from .reader import ReaderParams, SourceParams, _SceneProducer, _BatchBuilder
 
     key = cache_key(source_path, scaled_height, scaled_width, False)

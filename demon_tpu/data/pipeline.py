@@ -9,7 +9,7 @@ data axis, while the current step runs — jax dispatch is async, so a
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, Iterator, Optional
+from typing import Dict, Iterable, Iterator
 
 import jax
 import numpy as np

@@ -12,7 +12,6 @@ TF formats (tensorflow/core/util/tensor_bundle)."""
 from __future__ import annotations
 
 import glob
-import os
 import struct
 from typing import Dict, Iterator, List, Tuple
 
