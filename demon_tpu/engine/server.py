@@ -1,0 +1,141 @@
+"""Micro-batching inference server.
+
+Production-serving layer over the fused pipeline: callers submit single
+image pairs from any thread and receive futures; a dispatcher thread
+coalesces pending requests into fixed-size batches (padding the tail) so
+the device always runs the one compiled program at its efficient batch
+size. The reference has no serving story at all — inference is 5 manual
+session.run calls per pair (examples/example.py:87-99).
+
+Usage::
+
+    server = DemonServer(engine, params, max_batch=16)
+    fut = server.submit(image_pair, image2_2)          # [H, W, 6], [h, w, 3]
+    depth, rotation, translation = fut.result()
+    server.close()
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+
+class _Request(NamedTuple):
+    image_pair: np.ndarray
+    image2_2: np.ndarray
+    intrinsics: Optional[np.ndarray]
+    future: Future
+
+
+class DemonServer:
+    """Dynamic micro-batching dispatcher for a DemonEngine.
+
+    max_batch: the compiled batch size (requests are padded up to it).
+    max_wait_ms: how long the dispatcher waits to fill a batch before
+    dispatching a partial one.
+    """
+
+    def __init__(self, engine, params, max_batch: int = 16,
+                 max_wait_ms: float = 5.0):
+        import jax.numpy as jnp
+
+        from ..models import DEMON_INTRINSICS
+
+        self.engine = engine
+        self.params = params
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._default_intr = np.asarray(DEMON_INTRINSICS, np.float32)
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._closed = threading.Event()
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        daemon=True,
+                                        name="demon-server-dispatch")
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    def submit(self, image_pair: np.ndarray, image2_2: np.ndarray,
+               intrinsics: Optional[np.ndarray] = None) -> Future:
+        """Enqueue one pair ([H, W, 6], [h, w, 3] in [-0.5, 0.5]); the
+        future resolves to (inverse_depth [H, W], rotation [3],
+        translation [3])."""
+        if self._closed.is_set():
+            raise RuntimeError("server closed")
+        fut: Future = Future()
+        self._queue.put(_Request(np.asarray(image_pair, np.float32),
+                                 np.asarray(image2_2, np.float32),
+                                 intrinsics, fut))
+        return fut
+
+    # ------------------------------------------------------------------
+    def _dispatch_loop(self):
+        import time
+
+        while not self._closed.is_set():
+            try:
+                first = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                self._run_batch(batch)
+            except BaseException as e:  # surface to callers
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+
+    def _run_batch(self, batch):
+        import jax.numpy as jnp
+
+        n = len(batch)
+        pad = self.max_batch - n
+        image_pair = np.stack([r.image_pair for r in batch])
+        image2_2 = np.stack([r.image2_2 for r in batch])
+        intr = np.stack([r.intrinsics if r.intrinsics is not None
+                         else self._default_intr for r in batch])
+        if pad:
+            image_pair = np.concatenate(
+                [image_pair, np.repeat(image_pair[-1:], pad, 0)])
+            image2_2 = np.concatenate(
+                [image2_2, np.repeat(image2_2[-1:], pad, 0)])
+            intr = np.concatenate([intr, np.repeat(intr[-1:], pad, 0)])
+
+        out = self.engine.predict(self.params, jnp.asarray(image_pair),
+                                  jnp.asarray(image2_2), jnp.asarray(intr))
+        depth = np.asarray(out.depth_refined, np.float32)[..., 0]
+        rot = np.asarray(out.prediction.rotation, np.float32)
+        trans = np.asarray(out.prediction.translation, np.float32)
+        for i, req in enumerate(batch):
+            req.future.set_result((depth[i], rot[i], trans[i]))
+
+    # ------------------------------------------------------------------
+    def close(self):
+        self._closed.set()
+        self._thread.join(timeout=5)
+        # fail any stragglers
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            req.future.set_exception(RuntimeError("server closed"))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

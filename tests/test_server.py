@@ -1,0 +1,75 @@
+"""Micro-batching server tests (tiny engine, CPU)."""
+
+import numpy as np
+import pytest
+
+from demon_tpu.engine.server import DemonServer
+
+
+@pytest.fixture(scope="module")
+def tiny(tmp_path_factory):
+    import jax
+    import jax.numpy as jnp
+
+    from demon_tpu.engine.inference import DemonEngine
+    from demon_tpu.models import DEMON_INTRINSICS
+
+    engine = DemonEngine(variant="v1", iterations=1)
+    H, W, B = 64, 64, 1
+    ip = jnp.zeros((B, H, W, 6))
+    i22 = jnp.zeros((B, H // 4, W // 4, 3))
+    intr = jnp.broadcast_to(jnp.asarray(DEMON_INTRINSICS), (B, 4))
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    boot = jax.jit(engine.bootstrap.init)(k1, ip, i22)
+    prev = jax.jit(engine.bootstrap.apply)(boot, ip, i22)
+    itp = jax.jit(engine.iterative.init)(k2, ip, i22, intr, prev)
+    ref = jax.jit(engine.refinement.init)(k3, ip[..., :3], prev.depth2)
+    return engine, {"bootstrap": boot, "iterative": itp, "refinement": ref}
+
+
+def test_server_single_and_burst(tiny):
+    engine, params = tiny
+    rng = np.random.RandomState(0)
+    H, W = 64, 64
+    with DemonServer(engine, params, max_batch=4, max_wait_ms=20) as server:
+        # single request (padded batch)
+        fut = server.submit(rng.rand(H, W, 6).astype(np.float32) - 0.5,
+                            rng.rand(H // 4, W // 4, 3).astype(np.float32) - 0.5)
+        depth, rot, trans = fut.result(timeout=300)
+        assert depth.shape == (H, W)
+        assert rot.shape == (3,) and trans.shape == (3,)
+        assert np.isfinite(depth).all()
+
+        # burst of 9 requests across multiple micro-batches
+        futs = [
+            server.submit(rng.rand(H, W, 6).astype(np.float32) - 0.5,
+                          rng.rand(H // 4, W // 4, 3).astype(np.float32) - 0.5)
+            for _ in range(9)
+        ]
+        results = [f.result(timeout=300) for f in futs]
+        assert len(results) == 9
+        # different inputs give different outputs (no result crosstalk)
+        d0 = results[0][0]
+        d1 = results[1][0]
+        assert np.abs(d0 - d1).max() > 0
+
+
+def test_server_batch_consistency(tiny):
+    """Server result for a pair equals a direct engine call."""
+    import jax.numpy as jnp
+
+    engine, params = tiny
+    rng = np.random.RandomState(1)
+    H, W = 64, 64
+    ip = rng.rand(H, W, 6).astype(np.float32) - 0.5
+    i22 = rng.rand(H // 4, W // 4, 3).astype(np.float32) - 0.5
+
+    direct = engine.predict(params, jnp.asarray(ip[None]),
+                            jnp.asarray(i22[None]))
+    with DemonServer(engine, params, max_batch=4) as server:
+        depth, rot, trans = server.submit(ip, i22).result(timeout=300)
+
+    np.testing.assert_allclose(
+        depth, np.asarray(direct.depth_refined)[0, ..., 0], atol=2e-5)
+    np.testing.assert_allclose(
+        rot, np.asarray(direct.prediction.rotation)[0], atol=2e-5)
