@@ -113,6 +113,8 @@ def main():
         lambda s: jnp.asarray(
             (host_rng.standard_normal(s.shape) * 0.05).astype(s.dtype)),
         shapes)
+    if dtype == jnp.bfloat16:
+        params = engine.cast_params(params)  # halves weight HBM traffic
 
     H, W = DemonEngine.HEIGHT, DemonEngine.WIDTH
     rng = np.random.RandomState(0)

@@ -78,6 +78,21 @@ class DemonEngine:
         return {"bootstrap": boot, "iterative": iter_, "refinement": refine}
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def cast_params(params, dtype=jnp.bfloat16):
+        """Cast floating-point parameters for serving. With bf16 weights
+        the per-pass HBM weight traffic halves (fp32 master weights are
+        otherwise read and cast in-graph every scan iteration); the
+        pipeline is HBM-bound (BENCHMARKS.md) so this is free accuracy-
+        for-bandwidth at inference time."""
+        def _cast(x):
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+                return x.astype(dtype)
+            return x
+
+        return jax.tree.map(_cast, params)
+
+    # ------------------------------------------------------------------
     def _predict(self, params, image_pair, image2_2, intrinsics) -> DemonOutput:
         boot_pred = self.bootstrap.apply(params["bootstrap"], image_pair, image2_2)
 
