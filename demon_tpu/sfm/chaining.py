@@ -46,6 +46,7 @@ def predict_sequence_pairs(engine, params, images: np.ndarray,
         "rotation": np.asarray(out.prediction.rotation, np.float64),
         "translation": np.asarray(out.prediction.translation, np.float64),
         "inv_depth2": np.asarray(out.prediction.depth2)[..., 0],
+        "flow2": np.asarray(out.prediction.flow2),
         "depth_refined": np.asarray(out.depth_refined)[..., 0],
     }
 
@@ -89,9 +90,75 @@ def propagate_scales(inv_depths: np.ndarray, rotations: np.ndarray,
     return scales
 
 
+def build_ba_problem(preds: Dict, R: np.ndarray, t: np.ndarray,
+                     scales: np.ndarray, intrinsics_norm: np.ndarray,
+                     points_per_frame: int = 64):
+    """Flow-anchored bundle-adjustment problem from pairwise predictions.
+
+    For a grid of valid pixels p of frame k the network provides two
+    measurements: p itself (frame k) and p + flow_k(p) (frame k+1). The
+    corresponding world point comes from frame k's depth at the chained
+    pose. Poses and points are then jointly refined against these
+    observations by sfm.ba.bundle_adjust (each point has exactly 2
+    observations; the cameras couple them).
+
+    Returns (points [M, 3] world, BAProblem) — numpy inputs, jit-ready.
+    """
+    import jax.numpy as jnp
+
+    from .ba import BAProblem
+
+    inv_depths = preds["inv_depth2"]
+    flows = preds["flow2"] if "flow2" in preds else None
+    p_cnt, h, w = inv_depths.shape
+
+    pts_world = []
+    cam_idx = []
+    uvs = []
+    weights = []
+    stride = max(1, int(np.sqrt(h * w / points_per_frame)))
+    ys, xs = np.mgrid[stride // 2 : h : stride, stride // 2 : w : stride]
+    ys = ys.ravel()
+    xs = xs.ravel()
+    for k in range(p_cnt):
+        inv_d = inv_depths[k][ys, xs] / scales[k]  # global-scale inverse
+        u = (xs + 0.5) / w
+        v = (ys + 0.5) / h
+        ok = np.isfinite(inv_d) & (inv_d > 0)
+        if flows is not None:
+            fl = flows[k][ys, xs]  # normalized flow
+            ok &= np.isfinite(fl).all(axis=-1)
+            u2 = u + np.nan_to_num(fl[:, 0])
+            v2 = v + np.nan_to_num(fl[:, 1])
+        else:
+            u2, v2 = u, v
+        with np.errstate(divide="ignore"):
+            z = 1.0 / np.where(ok, inv_d, 1.0)
+        fx, fy, cx, cy = intrinsics_norm[:4]
+        Xc = np.stack([(u - cx) / fx * z, (v - cy) / fy * z, z], -1)
+        Xw = (Xc - t[k]) @ R[k]  # R_k^T (Xc - t_k)
+        pts_world.append(Xw)
+        cam_idx.append(np.stack([np.full(len(u), k),
+                                 np.full(len(u), min(k + 1, p_cnt))], -1))
+        uvs.append(np.stack([np.stack([u, v], -1),
+                             np.stack([u2, v2], -1)], 1))
+        weights.append(np.repeat(ok[:, None].astype(np.float32), 2, axis=1))
+
+    points = np.concatenate(pts_world).astype(np.float32)
+    problem = BAProblem(
+        cam_idx=jnp.asarray(np.concatenate(cam_idx), jnp.int32),
+        uv=jnp.asarray(np.concatenate(uvs), jnp.float32),
+        weight=jnp.asarray(np.concatenate(weights), jnp.float32),
+        intrinsics=jnp.asarray(intrinsics_norm[:4], jnp.float32),
+    )
+    return points, problem
+
+
 def chain_sequence(engine, params, images: np.ndarray,
                    intrinsics: Optional[np.ndarray] = None,
-                   pose_graph_iterations: int = 10
+                   pose_graph_iterations: int = 10,
+                   run_ba: bool = False, ba_iterations: int = 4,
+                   ba_points_per_frame: int = 64
                    ) -> Dict[str, np.ndarray]:
     """images [N, H, W, 3] -> optimized trajectory.
 
@@ -127,10 +194,37 @@ def chain_sequence(engine, params, images: np.ndarray,
     R_opt, t_opt, costs = optimize_pose_graph(
         R_init, t_init, edges, iterations=pose_graph_iterations)
 
-    return {
+    result = {
         "R": np.asarray(R_opt, np.float64),
         "t": np.asarray(t_opt, np.float64),
         "scales": scales,
         "pairwise": preds,
         "pose_graph_costs": np.asarray(costs),
     }
+
+    if run_ba:
+        import jax
+
+        from .ba import bundle_adjust
+
+        # the predicted flow of pair k anchors each sampled depth point in
+        # frames k and k+1; joint pose+point refinement over those
+        # measurements
+        preds_for_ba = dict(preds)
+        preds_for_ba.setdefault("flow2", preds.get("flow2"))
+        points, problem = build_ba_problem(
+            preds_for_ba, result["R"][:-1].astype(np.float32),
+            result["t"][:-1].astype(np.float32), scales, intr,
+            points_per_frame=ba_points_per_frame)
+        R_ba, t_ba, X_ba, ba_costs = jax.jit(
+            lambda R, t, X: bundle_adjust(
+                R, t, X, problem, iterations=ba_iterations)
+        )(jnp.asarray(result["R"], jnp.float32),
+          jnp.asarray(result["t"], jnp.float32),
+          jnp.asarray(points))
+        result["R"] = np.asarray(R_ba, np.float64)
+        result["t"] = np.asarray(t_ba, np.float64)
+        result["ba_points"] = np.asarray(X_ba)
+        result["ba_costs"] = np.asarray(ba_costs)
+
+    return result

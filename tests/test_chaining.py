@@ -77,3 +77,76 @@ def test_chained_trajectory_ate_zero_on_exact_predictions():
         t_gt.append(R_rel[k] @ t_gt[-1] + t_rel[k])
     C_gt = camera_centers(np.stack(R_gt), np.stack(t_gt))
     assert absolute_trajectory_error(C, C_gt, with_scale=False) < 1e-5
+
+
+def test_ba_from_pairwise_predictions():
+    """build_ba_problem + bundle_adjust on analytically consistent
+    pairwise predictions: zero cost at the true poses, and recovery from
+    perturbed poses."""
+    import jax
+    import jax.numpy as jnp
+
+    from demon_tpu.sfm.ba import bundle_adjust
+    from demon_tpu.sfm.chaining import build_ba_problem
+    from demon_tpu.sfm.lie import se3_compose, se3_exp
+
+    h, w = 24, 32
+    intr = np.array([0.9, 1.1, 0.5, 0.5])
+    plane_z = 4.0
+    positions = [0.0, 0.3, 0.7]  # camera centers on x axis
+    n = len(positions)
+
+    # absolute world-to-cam poses (identity rotation)
+    R_gt = np.stack([np.eye(3)] * n)
+    t_gt = np.stack([[-p, 0.0, 0.0] for p in positions])
+
+    inv_depths = []
+    flows = []
+    scales = []
+    ys, xs = np.mgrid[0:h, 0:w]
+    u = (xs + 0.5) / w
+    v = (ys + 0.5) / h
+    for k in range(n - 1):
+        b = positions[k + 1] - positions[k]
+        s = 1.0 / abs(b)  # pair scale: unit baseline
+        depth_k = np.full((h, w), plane_z, np.float32)
+        inv_depths.append((1.0 / (depth_k * s)).astype(np.float32))
+        scales.append(1.0 / s)
+        # normalized flow for translation (-b, 0, 0) in cam frame:
+        # du = fx * (-b) / z
+        du = intr[0] * (-b) / depth_k
+        flows.append(np.stack([du, np.zeros_like(du)], -1).astype(np.float32))
+    scales = np.asarray(scales) / scales[0]  # pair-0 scale convention
+
+    # express GT in pair-0 scale (baseline 0->1 is 0.3 world units; the
+    # chain normalizes pair 0 to unit baseline)
+    world_scale = 1.0 / 0.3
+    t_gt_scaled = t_gt * world_scale
+
+    preds = {"inv_depth2": np.stack(inv_depths), "flow2": np.stack(flows)}
+    # NOTE scales here link pair baselines: scales[k] converts pair-k
+    # units into pair-0 units
+    pair_scales = np.asarray([1.0, (0.7 - 0.3) / 0.3])
+
+    points, problem = build_ba_problem(
+        preds, R_gt[:-1].astype(np.float32),
+        t_gt_scaled[:-1].astype(np.float32), pair_scales, intr,
+        points_per_frame=48)
+
+    ba = jax.jit(lambda R, t, X: bundle_adjust(R, t, X, problem,
+                                               iterations=5))
+    R0 = jnp.asarray(R_gt, jnp.float32)
+    t0 = jnp.asarray(t_gt_scaled, jnp.float32)
+    _, _, _, costs_gt = ba(R0, t0, jnp.asarray(points))
+    assert float(costs_gt[0]) < 1e-6, costs_gt
+
+    # perturb the last two poses; BA must reduce the cost drastically
+    rng = np.random.RandomState(0)
+    xi = np.zeros((n, 6), np.float32)
+    xi[1:] = rng.randn(n - 1, 6) * 0.01
+    dR, dt = se3_exp(jnp.asarray(xi))
+    Rp, tp = se3_compose(dR, dt, R0, t0)
+    R_ba, t_ba, X_ba, costs = ba(Rp, tp, jnp.asarray(points))
+    assert float(costs[-1]) < float(costs[0]) * 1e-2, costs
+    np.testing.assert_allclose(np.asarray(t_ba[1]), np.asarray(t0[1]),
+                               atol=0.05)

@@ -59,3 +59,21 @@ def test_chain_sequence_end_to_end(tiny_engine):
     # poses are valid rotations
     for R in result["R"]:
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+
+
+def test_chain_sequence_with_ba(tiny_engine):
+    """chain_sequence(run_ba=True) through the real engine: BA executes
+    and returns refined poses + points."""
+    from demon_tpu.sfm.chaining import chain_sequence
+
+    engine, params = tiny_engine
+    rng = np.random.RandomState(2)
+    images = (rng.rand(3, 64, 64, 3).astype(np.float32) - 0.5)
+    result = chain_sequence(engine, params, images,
+                            pose_graph_iterations=2, run_ba=True,
+                            ba_iterations=2, ba_points_per_frame=24)
+    assert result["R"].shape == (3, 3, 3)
+    assert "ba_points" in result and "ba_costs" in result
+    assert np.isfinite(result["ba_costs"]).all()
+    for R in result["R"]:
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-3)
