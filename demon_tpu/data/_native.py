@@ -176,15 +176,21 @@ def compute_depthmask(depth, K1n, R1, t1, K2n, R2, t2, border1, border2
 
 def assemble_image_pair(img1_u8: np.ndarray, img2_u8: np.ndarray,
                         range_min: float, range_span: float,
-                        rot180: bool, mirror_x: bool) -> Optional[np.ndarray]:
-    """Fused u8->float + RGBRGB concat + flips; [h,w,3]x2 -> [h,w,6]."""
+                        rot180: bool, mirror_x: bool,
+                        out: Optional[np.ndarray] = None
+                        ) -> Optional[np.ndarray]:
+    """Fused u8->float + RGBRGB concat + flips; [h,w,3]x2 -> [h,w,6].
+    `out` may be a preallocated contiguous [h,w,6] float32 view (e.g. a
+    batch-buffer slot) to skip the extra copy."""
     lib = _load()
     if lib is None:
         return None
     img1_u8 = np.ascontiguousarray(img1_u8, np.uint8)
     img2_u8 = np.ascontiguousarray(img2_u8, np.uint8)
     h, w = img1_u8.shape[:2]
-    out = np.empty((h, w, 6), np.float32)
+    if out is None:
+        out = np.empty((h, w, 6), np.float32)
+    assert out.flags.c_contiguous and out.dtype == np.float32
     lib.demon_assemble_image_pair(img1_u8, img2_u8, h, w,
                                   float(range_min), float(range_span),
                                   int(rot180), int(mirror_x), out)
@@ -193,14 +199,17 @@ def assemble_image_pair(img1_u8: np.ndarray, img2_u8: np.ndarray,
 
 def prepare_depth(depth: np.ndarray, scale: float, inverse: bool,
                   min_d: float, max_d: float, rot180: bool,
-                  mirror_x: bool) -> Optional[np.ndarray]:
+                  mirror_x: bool,
+                  out: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
     """Fused depth invalidation/scale/inversion/flips."""
     lib = _load()
     if lib is None:
         return None
     depth = np.ascontiguousarray(depth, np.float32)
     h, w = depth.shape
-    out = np.empty((h, w), np.float32)
+    if out is None:
+        out = np.empty((h, w), np.float32)
+    assert out.flags.c_contiguous and out.dtype == np.float32
     lib.demon_prepare_depth(depth, h, w, float(scale), int(inverse),
                             float(min_d), float(max_d), int(rot180),
                             int(mirror_x), out)

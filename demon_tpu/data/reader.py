@@ -529,6 +529,7 @@ class _BatchBuilder(threading.Thread):
 
             items = []
             sample_ids = []
+            out_bufs: Optional[Dict[str, np.ndarray]] = None
             while len(items) < p.batch_size and not r.quit.is_set():
                 if prepared_scene is None:
                     prepared_scene = self._next_prepared_scene()
@@ -561,10 +562,25 @@ class _BatchBuilder(threading.Thread):
                 for cam1, cam2 in zip(camvec1, camvec2):
                     if len(items) >= p.batch_size:
                         break
+                    slot = None
+                    if out_bufs is not None:
+                        slot = {k: v[len(items)] for k, v in out_bufs.items()}
                     item = self._build_item(scene, pair, cam1, cam2,
-                                            rotate180, mirror_x)
+                                            rotate180, mirror_x,
+                                            out_slots=slot)
                     if item is None:
                         continue  # degenerate pair skipped
+                    if out_bufs is None:
+                        # learn shapes from the first item, then write the
+                        # big tensors of later items straight into the
+                        # batch buffers (skips the np.stack copy)
+                        out_bufs = {}
+                        for k in ("IMAGE_PAIR", "DEPTH"):
+                            if k in item:
+                                out_bufs[k] = np.empty(
+                                    (p.batch_size,) + item[k].shape,
+                                    np.float32)
+                                out_bufs[k][0] = item[k]
                     items.append(item)
                     sample_ids.append(
                         f"{scene.scene_id}/frames/t0/v{pair[0]},v{pair[1]}")
@@ -572,7 +588,9 @@ class _BatchBuilder(threading.Thread):
             if r.quit.is_set():
                 return
             batch = {k: np.stack([it[k] for it in items])
-                     for k in items[0]}
+                     for k in items[0] if k not in (out_bufs or {})}
+            for k, buf in (out_bufs or {}).items():
+                batch[k] = buf
             batch["SAMPLE_IDS"] = sample_ids
             while not r.quit.is_set():
                 try:
@@ -594,9 +612,12 @@ class _BatchBuilder(threading.Thread):
         return None
 
     def _build_item(self, scene, pair, cam1: _Camera, cam2: _Camera,
-                    rotate180: bool, mirror_x: bool) -> Optional[Dict[str, np.ndarray]]:
+                    rotate180: bool, mirror_x: bool,
+                    out_slots: Optional[Dict[str, np.ndarray]] = None
+                    ) -> Optional[Dict[str, np.ndarray]]:
         p = self.r.params
         out: Dict[str, np.ndarray] = {}
+        out_slots = out_slots or {}
 
         # ---- motion (with augmentation fixups), reference :1652-1786 ----
         R1, t1 = cam1.R.copy(), cam1.t.copy()
@@ -631,10 +652,12 @@ class _BatchBuilder(threading.Thread):
         if "IMAGE_PAIR" in p.top_output:
             span = p.image_range_max - p.image_range_min
             if cam1.image_u8 is not None and native.available():
-                # fused C path (releases the GIL -> builder threads scale)
+                # fused C path (releases the GIL -> builder threads
+                # scale); writes straight into the batch buffer slot
                 img = native.assemble_image_pair(
                     cam1.image_u8, cam2.image_u8, p.image_range_min, span,
-                    rotate180, mirror_x)
+                    rotate180, mirror_x,
+                    out=out_slots.get("IMAGE_PAIR"))
             else:
                 im1, im2 = cam1.image, cam2.image
                 if im1 is None:  # cached u8 without native library
@@ -653,6 +676,10 @@ class _BatchBuilder(threading.Thread):
             # augmentImage asserts 6 channels, multivih5datareader.cpp:646)
             if not p.test_phase and src.aug.any() and img.shape[-1] == 6:
                 img = hg.augment_image_pair(img, src.aug, self.rng)
+            slot = out_slots.get("IMAGE_PAIR")
+            if slot is not None and img is not slot:
+                slot[...] = img
+                img = slot
             out["IMAGE_PAIR"] = img
 
         # ---- intrinsics (with fixups), reference :1784-1815 ----
@@ -682,6 +709,16 @@ class _BatchBuilder(threading.Thread):
         # ---- depth with NaN rules, reference :1845-1906 ----
         if "DEPTH" in p.top_output:
             ds = [cam1.depth] + ([cam2.depth] if p.depth_pair else [])
+            depth_slot = out_slots.get("DEPTH")
+            if depth_slot is not None and not p.depth_pair and \
+                    native.available():
+                # single-channel fast path straight into the batch slot
+                native.prepare_depth(
+                    cam1.depth, depth_scale_factor, p.inverse_depth,
+                    p.min_depth, p.max_depth, rotate180, mirror_x,
+                    out=depth_slot[..., 0])
+                out["DEPTH"] = depth_slot
+                ds = []
             chans = []
             for d in ds:
                 if native.available():
@@ -705,7 +742,12 @@ class _BatchBuilder(threading.Thread):
                     if mirror_x:
                         d = d[:, ::-1]
                 chans.append(d)
-            out["DEPTH"] = np.ascontiguousarray(np.stack(chans, axis=-1))
+            if chans:
+                stacked = np.ascontiguousarray(np.stack(chans, axis=-1))
+                if depth_slot is not None:
+                    depth_slot[...] = stacked
+                    stacked = depth_slot
+                out["DEPTH"] = stacked
 
         # ---- depth-visibility masks, reference :1908-1941 ----
         if "DEPTHMASKS" in p.top_output:
