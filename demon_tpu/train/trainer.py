@@ -343,6 +343,8 @@ class EvolutionTrainer:
             )
             loss_dict.update(ld)
             selected += ["netDM2_" + n for n in L.DEPTHNORMAL_SELECTED]
+        if evo == "3_dm2":
+            return self._total(loss_dict, selected, params, evo), loss_dict, new_replay
 
         if evo == "4_iterative":
             # re-emit the first 3B rows with netDM2's predictions as the

@@ -86,3 +86,17 @@ def test_warm_start_chain(tmp_path, tiny_dataset):
     leaf0 = jax.tree_util.tree_leaves(p0_flow1)[0]
     leaf1 = jax.tree_util.tree_leaves(params["netFlow1"])[0]
     np.testing.assert_array_equal(np.asarray(leaf0), np.asarray(leaf1))
+
+
+@pytest.mark.parametrize("evo,expect_prefix", [
+    ("1_dm1", "netDM1_"),
+    ("2_flow2", "netFlow2_"),
+    ("3_dm2", "netDM2_"),
+    ("5_refine", "netRefine_"),
+])
+def test_remaining_evolutions_step(tmp_path, tiny_dataset, evo, expect_prefix):
+    driver = _make_driver(tmp_path, tiny_dataset)
+    out = driver.run_evolution(evo)
+    assert out["step"] == 2
+    assert np.isfinite(out["metrics"]["total_loss"])
+    assert any(k.startswith(expect_prefix) for k in out["metrics"])
