@@ -164,7 +164,15 @@ class TrainingDriver:
                           f"loss={total:.4f} "
                           f"lr={float(metrics['learning_rate']):.2e} "
                           f"{rate:.1f} samples/s", flush=True)
-                    logger.log(step, metrics)
+                    # reader buffer gauges (the reference logs its info
+                    # tensor as summary scalars, training.py:132-134)
+                    info = reader.info
+                    logger.log(step, {
+                        **metrics,
+                        "samples_per_s": rate,
+                        "reader_batch_buffer": float(info[1]),
+                        "reader_scene_buffer": float(info[3]),
+                    })
                     if not np.isfinite(total):
                         raise FloatingPointError(
                             f"non-finite total loss at step {step}")
