@@ -11,12 +11,12 @@ alignment).
 
 from .lie import so3_exp, so3_log, se3_exp, se3_log
 from .pose_graph import PoseGraphEdge, optimize_pose_graph, chain_relative_poses
-from .ba import bundle_adjust, BAProblem
+from .ba import bundle_adjust, bundle_adjust_sparse, BAProblem
 from .trajectory import align_umeyama, absolute_trajectory_error
 
 __all__ = [
     "so3_exp", "so3_log", "se3_exp", "se3_log",
     "PoseGraphEdge", "optimize_pose_graph", "chain_relative_poses",
-    "bundle_adjust", "BAProblem",
+    "bundle_adjust", "bundle_adjust_sparse", "BAProblem",
     "align_umeyama", "absolute_trajectory_error",
 ]

@@ -205,7 +205,7 @@ def chain_sequence(engine, params, images: np.ndarray,
     if run_ba:
         import jax
 
-        from .ba import bundle_adjust
+        from .ba import bundle_adjust_sparse
 
         # the predicted flow of pair k anchors each sampled depth point in
         # frames k and k+1; joint pose+point refinement over those
@@ -217,7 +217,7 @@ def chain_sequence(engine, params, images: np.ndarray,
             result["t"][:-1].astype(np.float32), scales, intr,
             points_per_frame=ba_points_per_frame)
         R_ba, t_ba, X_ba, ba_costs = jax.jit(
-            lambda R, t, X: bundle_adjust(
+            lambda R, t, X: bundle_adjust_sparse(
                 R, t, X, problem, iterations=ba_iterations)
         )(jnp.asarray(result["R"], jnp.float32),
           jnp.asarray(result["t"], jnp.float32),

@@ -184,3 +184,31 @@ def test_camera_centers():
     np.testing.assert_allclose(
         np.einsum("nij,nj->ni", np.asarray(R), C) + np.asarray(t), 0.0,
         atol=1e-6)
+
+
+def test_bundle_adjust_sparse_matches_dense():
+    """The block-sparse Schur assembly must reproduce the dense variant."""
+    from demon_tpu.sfm.ba import bundle_adjust_sparse
+
+    rng = np.random.RandomState(7)
+    R_gt, t_gt, X_gt, intr, problem = _make_ba_problem(rng, n_cams=4,
+                                                       n_pts=40)
+    n = R_gt.shape[0]
+    xi_n = rng.randn(n, 6) * 0.02
+    xi_n[0] = 0
+    dR, dt = se3_exp(jnp.asarray(xi_n))
+    R0, t0 = se3_compose(dR, dt, R_gt, t_gt)
+    X0 = X_gt + jnp.asarray(rng.randn(*X_gt.shape) * 0.04)
+
+    R_d, t_d, X_d, c_d = jax.jit(
+        lambda R, t, X: bundle_adjust(R, t, X, problem, iterations=4)
+    )(R0, t0, X0)
+    R_s, t_s, X_s, c_s = jax.jit(
+        lambda R, t, X: bundle_adjust_sparse(R, t, X, problem, iterations=4)
+    )(R0, t0, X0)
+
+    np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_d), rtol=1e-4,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(R_s), np.asarray(R_d), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_d), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(X_s), np.asarray(X_d), atol=1e-4)
