@@ -78,39 +78,64 @@ def optimize_pose_graph(R_init: jax.Array, t_init: jax.Array,
                         edges: PoseGraphEdge, iterations: int = 10,
                         damping: float = 1e-6,
                         fix_first: bool = True):
-    """Gauss-Newton over all poses; returns (R [N,3,3], t [N,3]).
+    """Gauss-Newton over all poses; returns (R [N,3,3], t [N,3], costs).
 
-    The Jacobian of every edge residual w.r.t. the two incident pose
-    perturbations is obtained with jax.jacfwd on the residual under a
-    left-multiplied se3 perturbation — no hand-derived Jacobians, and the
-    whole solver stays inside one jitted program (lax.scan over GN
-    iterations, dense 6N x 6N normal equations)."""
+    Each edge residual is differentiated only w.r.t. its TWO incident
+    pose perturbations (jax.jacfwd on a [2, 6] local delta — no
+    hand-derived Jacobians), and the per-edge [2,6,2,6] normal-equation
+    blocks scatter-add into the global 6N x 6N system, so memory is
+    O(E) rather than O(E*N). The whole solver stays inside one jitted
+    program (lax.scan over GN iterations; dense solve of the assembled
+    system)."""
     n = R_init.shape[0]
 
-    def residual_with_delta(delta, R, t, edges):
-        """delta: [N, 6] perturbation; T_i' = exp(delta_i) o T_i."""
-        dR, dt = se3_exp(delta)
-        R_new, t_new = se3_compose(dR, dt, R, t)
-        r = _edge_residual(R_new, t_new, edges)       # [E, 6]
-        return (r * edges.weight[:, None]).reshape(-1)
+    def edge_residual_local(delta2, R, t, edge_i, edge_j, R_ij, t_ij, w):
+        """delta2: [2, 6] perturbations of poses (i, j) of ONE edge."""
+        dR, dt = se3_exp(delta2)
+        Ri, ti = se3_compose(dR[0], dt[0], R[edge_i], t[edge_i])
+        Rj, tj = se3_compose(dR[1], dt[1], R[edge_j], t[edge_j])
+        Ri_inv, ti_inv = se3_inverse(Ri, ti)
+        Rp, tp = se3_compose(Rj, tj, Ri_inv, ti_inv)
+        Rp_inv, tp_inv = se3_inverse(Rp, tp)
+        Re, te = se3_compose(R_ij, t_ij, Rp_inv, tp_inv)
+        return se3_log(Re, te) * w
 
     def gn_step(state, _):
         R, t = state
-        zero = jnp.zeros((n, 6), R_init.dtype)
-        J = jax.jacfwd(residual_with_delta)(zero, R, t, edges)  # [6E, N, 6]
-        r = residual_with_delta(zero, R, t, edges)              # [6E]
-        J = J.reshape(r.shape[0], n * 6)
+        zero2 = jnp.zeros((2, 6), R_init.dtype)
+
+        def per_edge(ei, ej, Rij, tij, w):
+            res = lambda d: edge_residual_local(d, R, t, ei, ej, Rij, tij, w)
+            J = jax.jacfwd(res)(zero2).reshape(6, 12)   # [6, 2*6]
+            r = res(zero2)                               # [6]
+            H_blk = (J.T @ J).reshape(2, 6, 2, 6)
+            g_blk = (J.T @ r).reshape(2, 6)
+            return H_blk, g_blk, jnp.sum(r * r)
+
+        H_blk, g_blk, cost = jax.vmap(per_edge)(
+            edges.i, edges.j, edges.R_ij, edges.t_ij, edges.weight)
+        idx = jnp.stack([edges.i, edges.j], axis=1)      # [E, 2]
+        ia = jnp.broadcast_to(idx[:, :, None], idx.shape + (2,)).reshape(-1)
+        ib = jnp.broadcast_to(idx[:, None, :], (idx.shape[0], 2, 2)).reshape(-1)
+        H = jnp.zeros((n, 6, n, 6), R_init.dtype)
+        H = H.at[ia, :, ib, :].add(
+            H_blk.transpose(0, 1, 3, 2, 4).reshape(-1, 6, 6))
+        g = jnp.zeros((n, 6), R_init.dtype)
+        g = g.at[idx.reshape(-1)].add(g_blk.reshape(-1, 6))
+
+        H = H.reshape(n * 6, n * 6) + damping * jnp.eye(n * 6,
+                                                        dtype=R_init.dtype)
+        g = g.reshape(n * 6)
         if fix_first:
             # gauge fix: freeze pose 0
             mask = jnp.concatenate(
                 [jnp.zeros(6, R_init.dtype), jnp.ones(6 * (n - 1), R_init.dtype)])
-            J = J * mask[None, :]
-        H = J.T @ J + damping * jnp.eye(n * 6, dtype=R_init.dtype)
-        g = J.T @ r
+            H = H * mask[None, :] * mask[:, None] + jnp.diag(1.0 - mask)
+            g = g * mask
         delta = -jnp.linalg.solve(H, g).reshape(n, 6)
         dR, dt = se3_exp(delta)
         R_new, t_new = se3_compose(dR, dt, R, t)
-        return (R_new, t_new), jnp.sum(r * r)
+        return (R_new, t_new), jnp.sum(cost)
 
     (R_out, t_out), costs = jax.lax.scan(
         gn_step, (R_init, t_init), None, length=iterations)
