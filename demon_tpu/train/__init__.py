@@ -16,6 +16,7 @@ from .schedules import ease_in_quad, ease_out_quad, demon_lr_schedule
 from .trainer import EvolutionTrainer, TrainConfig, EVOLUTIONS
 from .driver import TrainingDriver
 from .checkpoint import EvolutionCheckpointer, check_numerics
+from .distributed import initialize_distributed, global_data_mesh, host_reader_params
 
 __all__ = [
     "l1_loss",
@@ -37,4 +38,7 @@ __all__ = [
     "TrainingDriver",
     "EvolutionCheckpointer",
     "check_numerics",
+    "initialize_distributed",
+    "global_data_mesh",
+    "host_reader_params",
 ]
