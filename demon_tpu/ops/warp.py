@@ -65,13 +65,9 @@ def warp2d(
     x1i = x0i + 1
     y1i = y0i + 1
 
-    if border_mode == "clamp":
-        inb = finite
-    else:
-        # a sample is valid if the *interpolated position* is inside the
-        # image support [-0.5, size-0.5) in center-based index space:
-        # any tap outside contributes border_value via its weight.
-        inb = finite
+    # non-finite displacements always produce the border value; per-tap
+    # out-of-bounds handling happens inside gather() for 'value' mode
+    inb = finite
 
     def gather(yi, xi):
         yc = jnp.clip(yi, 0, H - 1)
