@@ -96,8 +96,8 @@ def main():
     from demon_tpu.engine.inference import DemonEngine
     from demon_tpu.models import DEMON_INTRINSICS
 
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
-    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
     # serving dtype: bfloat16 rides the MXU at full rate; geometry ops
     # inside the blocks stay fp32 (see models/blocks.py)
     dtype = jnp.bfloat16 if os.environ.get(
