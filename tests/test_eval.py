@@ -183,3 +183,29 @@ def test_harness_sample_id_mismatch(synthetic_eval_files, tmp_path):
         f["0"].attrs["sample_id"] = "WRONG"
     with pytest.raises(AssertionError, match="sample ids"):
         evaluate(pr_path, bad_gt, verbose=False)
+
+
+def test_invalidate_points_not_visible_in_second_image():
+    from demon_tpu.eval.harness import (
+        invalidate_points_not_visible_in_second_image)
+
+    h, w = 32, 48
+    inv_depth = np.full((h, w), 1.0 / 2.0, np.float32)  # plane at z=2
+    # strong sideways motion: left part of image 1 leaves image 2
+    motion = np.array([0, 0, 0, -1.5, 0, 0], np.float32)
+    intr = np.array([0.9, 1.1, 0.5, 0.5], np.float32)
+    depth = inv_depth.copy()
+    invalidate_points_not_visible_in_second_image(depth, motion, intr)
+    # some points invalidated, some survive
+    assert np.isnan(depth).any()
+    assert np.isfinite(depth).any()
+    # the invisible region is on one side (contiguous columns)
+    col_invalid = np.isnan(depth).all(axis=0)
+    assert col_invalid.any() and not col_invalid.all()
+
+
+def test_evaluate_with_depthmask(synthetic_eval_files):
+    pr_path, gt_path = synthetic_eval_files
+    res = evaluate(pr_path, gt_path, depthmask=True, verbose=False)
+    v = res.get(("snap_10000", "3_refined", "0", "depth_l1_inverse", 0))
+    assert np.isfinite(v)
