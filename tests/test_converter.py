@@ -206,3 +206,74 @@ def test_convert_structure_roundtrip():
     conv = np.asarray(
         params["bootstrap"]["params"]["netFlow1"]["refine4"]["upconv"]["kernel"])
     np.testing.assert_array_equal(orig, conv)
+
+
+def test_full_converter_chain_end_to_end(tmp_path):
+    """Write every v1 engine parameter into a synthetic TF bundle
+    (leveldb table + raw data shard), read it back with the pure-python
+    reader, convert, and verify the engine produces identical outputs to
+    the original parameter tree."""
+    import jax.numpy as jnp
+
+    from demon_tpu.engine.inference import DemonEngine
+    from demon_tpu.tools.tf_bundle import read_tf_checkpoint
+
+    engine = DemonEngine(variant="v1", iterations=1)
+    # init at 64x64 (the motion FC width depends on resolution; full-res
+    # init on CPU is needlessly slow for this test)
+    H = W = 64
+    ip0 = jnp.zeros((1, H, W, 6))
+    i220 = jnp.zeros((1, H // 4, W // 4, 3))
+    intr0 = jnp.full((1, 4), 0.5)
+    k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+    boot = jax.jit(engine.bootstrap.init)(k1, ip0, i220)
+    prev = jax.jit(engine.bootstrap.apply)(boot, ip0, i220)
+    itp = jax.jit(engine.iterative.init)(k2, ip0, i220, intr0, prev)
+    ref = jax.jit(engine.refinement.init)(k3, ip0[..., :3], prev.depth2)
+    expected = {"bootstrap": boot, "iterative": itp, "refinement": ref}
+
+    # flatten to TF-style variables (inverse-converting upconv kernels)
+    variables = {}
+    for section in ("bootstrap", "iterative", "refinement"):
+        flat = jax.tree_util.tree_flatten_with_path(
+            expected[section]["params"])[0]
+        for path, leaf in flat:
+            names = [p.key for p in path]
+            value = np.asarray(leaf, np.float32)
+            if names[-1] == "kernel" and value.ndim == 4 and "upconv" in names:
+                value = np.ascontiguousarray(
+                    value.transpose(0, 1, 3, 2)[::-1, ::-1])
+            variables["/".join(names)] = value
+
+    # write the bundle: entries sorted by key, single data shard
+    data = b""
+    entries = [(b"", b"")]
+    for name in sorted(variables):
+        v = variables[name]
+        entries.append((name.encode(),
+                        _proto_entry(1, v.shape, 0, len(data), v.nbytes)))
+        data += v.tobytes()
+    prefix = str(tmp_path / "demon_synthetic")
+    with open(prefix + ".index", "wb") as f:
+        f.write(_build_table(entries))
+    with open(prefix + ".data-00000-of-00001", "wb") as f:
+        f.write(data)
+
+    read_back = read_tf_checkpoint(prefix)
+    assert len(read_back) == len(variables)
+    params = convert_tf_variables(read_back)
+    # (structure-vs-engine verification runs at full res in
+    # test_convert_structure_roundtrip; here the forward-pass equality
+    # below is the stronger end-to-end check)
+
+    # identical forward pass
+    rng = np.random.RandomState(0)
+    ip = jnp.asarray(rng.rand(1, 64, 64, 6).astype(np.float32) - 0.5)
+    i22 = jnp.asarray(rng.rand(1, 16, 16, 3).astype(np.float32) - 0.5)
+    out_a = engine.predict(expected, ip, i22)
+    out_b = engine.predict(jax.tree.map(jnp.asarray, params), ip, i22)
+    np.testing.assert_allclose(np.asarray(out_a.depth_refined),
+                               np.asarray(out_b.depth_refined), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_a.prediction.rotation),
+                               np.asarray(out_b.prediction.rotation),
+                               atol=1e-6)
