@@ -83,3 +83,27 @@ def _pallas_warp_interpret_small(image, flow):
         interpret=True,
     )(flow.reshape(B, hw, 2), image.reshape(B, hw, C))
     return out.reshape(B, H, W, C)
+
+
+def test_fused_convrelu2_matches_xla():
+    """Pallas fused factored-conv pair vs flax convs (interpret mode)."""
+    import flax.linen as nn
+
+    from demon_tpu.ops import leaky_relu
+    from demon_tpu.ops.pallas_conv import fused_convrelu2_s1
+
+    rng = np.random.RandomState(0)
+    B, H, W, Cin, Cmid, Cout, k = 2, 16, 32, 8, 16, 24, 3
+    x = jnp.asarray(rng.randn(B, H, W, Cin).astype(np.float32) * 0.3)
+    wy = jnp.asarray(rng.randn(k, 1, Cin, Cmid).astype(np.float32) * 0.2)
+    by = jnp.asarray(rng.randn(Cmid).astype(np.float32) * 0.1)
+    wx = jnp.asarray(rng.randn(1, k, Cmid, Cout).astype(np.float32) * 0.2)
+    bx = jnp.asarray(rng.randn(Cout).astype(np.float32) * 0.1)
+
+    cy = nn.Conv(Cmid, (k, 1), padding="SAME")
+    cx = nn.Conv(Cout, (1, k), padding="SAME")
+    mid = leaky_relu(cy.apply({"params": {"kernel": wy, "bias": by}}, x))
+    ref = leaky_relu(cx.apply({"params": {"kernel": wx, "bias": bx}}, mid))
+
+    got = fused_convrelu2_s1(x, wy, by, wx, bx, k=k, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
