@@ -326,3 +326,16 @@ def test_fundamental_matrix_epipolar_constraint():
         x2 = P2 @ X
         val = x2 @ F @ x1 / (np.linalg.norm(x1) * np.linalg.norm(x2))
         assert abs(val) < 1e-6 * max(1.0, abs(F[2, 2]))
+
+
+def test_reader_depth_pair(sculpture_h5):
+    params = _reader_params(sculpture_h5, depth_pair=True)
+    with MultiViH5DataReader(params) as reader:
+        batch = reader.get_batch(timeout=60)
+    assert batch["DEPTH"].shape == (2, 96, 128, 2)
+    assert batch["DEPTHMASKS"].shape == (2, 96, 128, 2)
+    # both depth channels are inverse depths (positive or NaN)
+    assert np.nanmin(batch["DEPTH"]) > 0
+    # the two mask channels differ (different viewpoints)
+    m = batch["DEPTHMASKS"]
+    assert (m[..., 0] != m[..., 1]).any()
