@@ -27,11 +27,16 @@ from .trainer import EVOLUTIONS, EvolutionTrainer, TrainConfig
 
 
 def default_reader_params(cfg: TrainConfig, sources: Sequence[dict],
-                          evo: str, seed: int = 0) -> dict:
+                          evo: str, seed: int = 0,
+                          cache_dir: Optional[str] = None) -> dict:
     """Reader configuration used by the reference driver
     (training.py:96-116): inverse depth, ANGLEAXIS6, ||t||=1 with depth
-    rescale, 192x256, rot180/mirror augmentation."""
+    rescale, 192x256, rot180/mirror augmentation. Set `cache_dir` (after
+    running data.cache.build_scene_cache on each source) to feed from the
+    pre-decoded cache."""
+    extra = {"cache_dir": cache_dir} if cache_dir else {}
     return {
+        **extra,
         "batch_size": cfg.batch_for(evo),
         "test_phase": False,
         "builder_threads": 4,
@@ -86,7 +91,7 @@ class TrainingDriver:
                  saver_interval: int = 100_000,
                  recovery_interval: int = 5_000,
                  check_numerics_interval: int = 1_000,
-                 seed: int = 0):
+                 seed: int = 0, cache_dir: Optional[str] = None):
         self.train_dir = train_dir
         self.sources = list(sources)
         self.config = config or TrainConfig()
@@ -97,6 +102,7 @@ class TrainingDriver:
         self.recovery_interval = recovery_interval
         self.check_numerics_interval = check_numerics_interval
         self.seed = seed
+        self.cache_dir = cache_dir
         self.trainer = EvolutionTrainer(self.config, mesh=mesh)
 
     # ------------------------------------------------------------------
@@ -135,7 +141,8 @@ class TrainingDriver:
             os.path.join(self.train_dir, evo, "metrics.jsonl"))
 
         reader = MultiViH5DataReader(default_reader_params(
-            cfg, self.sources, evo, seed=self.seed))
+            cfg, self.sources, evo, seed=self.seed,
+            cache_dir=self.cache_dir))
         batches = device_prefetch(iter(reader), mesh=self.mesh)
 
         replay = None
