@@ -673,8 +673,12 @@ class _BatchBuilder(threading.Thread):
                 img = np.ascontiguousarray(img)
             src = p.source[scene.source_id]
             # photometric augmentation is color-only (reference
-            # augmentImage asserts 6 channels, multivih5datareader.cpp:646)
-            if not p.test_phase and src.aug.any() and img.shape[-1] == 6:
+            # augmentImage asserts 6 channels, multivih5datareader.cpp:646).
+            # Like the reference (:1642-1647) it applies whenever the source
+            # configures aug params — including test phase, where the single
+            # seeded builder thread keeps it deterministic; test configs
+            # simply don't set aug params.
+            if src.aug.any() and img.shape[-1] == 6:
                 img = hg.augment_image_pair(img, src.aug, self.rng)
             slot = out_slots.get("IMAGE_PAIR")
             if slot is not None and img is not slot:

@@ -56,6 +56,7 @@ class DemonEngine:
         self.iterative = IterativeNet(variant=variant, dtype=dtype)
         self.refinement = RefinementNet(variant=variant, dtype=dtype)
         self._jit_predict = jax.jit(self._predict)
+        self._jit_predict_eval = jax.jit(self._predict_eval)
 
     # ------------------------------------------------------------------
     def init(self, rng, batch_size: int = 1) -> Dict[str, Any]:
@@ -159,8 +160,6 @@ class DemonEngine:
             intrinsics = jnp.broadcast_to(
                 jnp.asarray(DEMON_INTRINSICS), (image_pair.shape[0], 4)
             )
-        if not hasattr(self, "_jit_predict_eval"):
-            self._jit_predict_eval = jax.jit(self._predict_eval)
         return self._jit_predict_eval(params, image_pair, image2_2, intrinsics)
 
 

@@ -75,9 +75,12 @@ def recursive_median_downsample(x: jax.Array, iterations: int):
 
 
 def resize_nearest(x: jax.Array, height: int, width: int) -> jax.Array:
-    """Nearest-neighbor resize, NHWC (TF resize_nearest_neighbor semantics
-    with half-pixel source sampling — used for upsampling depth2 into the
-    refinement net, blocks_original.py:475)."""
+    """Nearest-neighbor resize, NHWC.
+
+    Source index = floor(dst * src/dst) — TF1 resize_nearest_neighbor with
+    align_corners=False (NO half-pixel offset), matching the reference's
+    upsampling of depth2 into the refinement net (blocks_original.py:475)
+    and the host-side `_nearest_resize` in eval/harness.py."""
     B, H, W, C = x.shape
     ys = (jnp.arange(height) * (H / height)).astype(jnp.int32)
     xs = (jnp.arange(width) * (W / width)).astype(jnp.int32)

@@ -249,6 +249,43 @@ def test_reader_photometric_augmentation(sculpture_h5):
     np.testing.assert_allclose(aug["MOTION"][0], plain["MOTION"][i], atol=1e-6)
 
 
+def test_reader_photometric_augmentation_in_test_phase(tmp_path):
+    """Like the reference (augmentImage called unconditionally,
+    multivih5datareader.cpp:1642-1647), photometric aug applies whenever the
+    source configures it — even in test phase — and is deterministic there
+    (single seeded builder thread)."""
+    path = str(tmp_path / "test.h5")
+    views = _sculpture_views()
+    with h5py.File(path, "w") as f:
+        for g in range(2):
+            for i, v in enumerate(views):
+                write_view(f.require_group(f"g{g:02d}/frames/t0/v{i}"), v)
+            f[f"g{g:02d}/frames/t0"].attrs["viewpoint_pairs"] = np.array(
+                [0, 1], np.int32)
+
+    aug_src = [{
+        "path": path,
+        "weight": [{"t": 0, "v": 1.0}],
+        "aug_brightness": {"normal": {"mean": 0.15, "stddev": 0.0}},
+    }]
+    base = _reader_params(path, test_phase=True, batch_size=2,
+                          scene_pool_size=2)
+    runs = []
+    for _ in range(2):
+        params = dict(base)
+        params["source"] = aug_src
+        with MultiViH5DataReader(params) as reader:
+            runs.append(reader.get_batch(timeout=60))
+    with MultiViH5DataReader(base) as reader:
+        plain = reader.get_batch(timeout=60)
+
+    assert runs[0]["SAMPLE_IDS"] == plain["SAMPLE_IDS"]
+    # augmentation DID apply in test phase ...
+    assert np.abs(runs[0]["IMAGE_PAIR"] - plain["IMAGE_PAIR"]).mean() > 0.01
+    # ... and deterministically
+    np.testing.assert_array_equal(runs[0]["IMAGE_PAIR"], runs[1]["IMAGE_PAIR"])
+
+
 def test_reader_multi_host_sharding(tmp_path):
     """Two hosts see disjoint group shards covering everything exactly
     once in test mode."""
