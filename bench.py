@@ -86,10 +86,84 @@ def bench_train():
     }))
 
 
+def bench_input():
+    """BENCH_MODE=input: reader throughput (192x256 training batches from a
+    pre-decoded cache, the production input path). Env: BENCH_THREADS,
+    BENCH_BATCHES, BENCH_SCENES."""
+    import shutil
+    import tempfile
+
+    import h5py
+
+    from demon_tpu.data import MultiViH5DataReader, write_view
+    from demon_tpu.data.cache import build_scene_cache
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tests"))
+    from test_data_reader import _sculpture_views
+
+    threads = int(os.environ.get("BENCH_THREADS", "4"))
+    n_batches = int(os.environ.get("BENCH_BATCHES", "40"))
+    n_scenes = int(os.environ.get("BENCH_SCENES", "24"))
+    batch = 32
+
+    tmp = tempfile.mkdtemp(prefix="demon_input_bench_")
+    try:
+        path = os.path.join(tmp, "bench.h5")
+        views = _sculpture_views()
+        rng = np.random.RandomState(0)
+        with h5py.File(path, "w") as f:
+            for s in range(n_scenes):
+                for i, v in enumerate(views):
+                    jitter = v._replace(
+                        t=v.t + rng.randn(3) * 1e-3)
+                    write_view(f.require_group(f"s{s:03d}/frames/t0/v{i}"),
+                               jitter)
+                f[f"s{s:03d}/frames/t0"].attrs["viewpoint_pairs"] = \
+                    np.array([0, 1, 1, 0], np.int32)
+        cache_dir = os.path.join(tmp, "cache")
+        build_scene_cache(path, cache_dir, 192, 256, verbose=False)
+
+        params = {
+            "batch_size": batch,
+            "test_phase": False,
+            "builder_threads": threads,
+            "inverse_depth": True,
+            "motion_format": "ANGLEAXIS6",
+            "norm_trans_scale_depth": True,
+            "scaled_height": 192,
+            "scaled_width": 256,
+            "scene_pool_size": 8,
+            "augment_rot180": 0.5,
+            "augment_mirror_x": 0.5,
+            "cache_dir": cache_dir,
+            "top_output": ("IMAGE_PAIR", "MOTION", "DEPTH", "INTRINSICS"),
+            "source": [{"path": path, "weight": [{"t": 0, "v": 1.0}]}],
+        }
+        with MultiViH5DataReader(params) as reader:
+            for _ in range(8):  # warm up: fill pool, settle threads
+                reader.get_batch(timeout=120)
+            t0 = time.perf_counter()
+            for _ in range(n_batches):
+                reader.get_batch(timeout=120)
+            dt = time.perf_counter() - t0
+        rate = batch * n_batches / dt
+        print(json.dumps({
+            "metric": f"demon_input_pipeline_samples_per_s_{threads}threads",
+            "value": round(rate, 2),
+            "unit": "samples/s",
+            "vs_baseline": round(rate / 239.0, 2),  # h5+decode 4-thread path
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     _enable_compilation_cache()
     if os.environ.get("BENCH_MODE", "infer") == "train":
         return bench_train()
+    if os.environ.get("BENCH_MODE") == "input":
+        return bench_input()
     import jax
     import jax.numpy as jnp
 

@@ -82,6 +82,12 @@ def _declare(lib):
     lib.demon_prepare_depth.argtypes = [
         f32p, c.c_int, c.c_int, c.c_float, c.c_int, c.c_float, c.c_float,
         c.c_int, c.c_int, f32p]
+    vpp = c.POINTER(c.c_void_p)
+    lib.demon_build_batch.restype = None
+    lib.demon_build_batch.argtypes = [
+        vpp, vpp, vpp, c.c_int, c.c_int, c.c_int, c.c_float, c.c_float,
+        f32p, c.c_int, c.c_float, c.c_float, u8p, u8p,
+        c.c_void_p, c.c_void_p]
 
 
 def available() -> bool:
@@ -214,6 +220,44 @@ def prepare_depth(depth: np.ndarray, scale: float, inverse: bool,
                             float(min_d), float(max_d), int(rot180),
                             int(mirror_x), out)
     return out
+
+
+def build_batch(img1s, img2s, depths, h: int, w: int,
+                range_min: float, range_span: float,
+                depth_scales: np.ndarray, inverse: bool,
+                min_d: float, max_d: float,
+                rot180s: np.ndarray, mirror_xs: np.ndarray,
+                out_images: Optional[np.ndarray],
+                out_depths: Optional[np.ndarray]) -> bool:
+    """Whole-batch IMAGE_PAIR + DEPTH fill in one GIL-released OpenMP call.
+
+    img1s/img2s: lists of [h,w,3] uint8 arrays (or None per item);
+    depths: list of [h,w] float32 arrays (or None);
+    out_images: [n,h,w,6] float32; out_depths: [n,h,w(,1)] float32.
+    The caller must keep the source arrays alive across the call.
+    """
+    lib = _load()
+    if lib is None:
+        return False
+    n = len(img1s)
+    c_void = ctypes.c_void_p
+
+    def ptrs(arrs):
+        a = (c_void * n)()
+        for i, arr in enumerate(arrs):
+            a[i] = arr.ctypes.data if arr is not None else None
+        return ctypes.cast(a, ctypes.POINTER(c_void))
+
+    lib.demon_build_batch(
+        ptrs(img1s), ptrs(img2s), ptrs(depths), n, h, w,
+        float(range_min), float(range_span),
+        np.ascontiguousarray(depth_scales, np.float32), int(inverse),
+        float(min_d), float(max_d),
+        np.ascontiguousarray(rot180s, np.uint8),
+        np.ascontiguousarray(mirror_xs, np.uint8),
+        out_images.ctypes.data if out_images is not None else None,
+        out_depths.ctypes.data if out_depths is not None else None)
+    return True
 
 
 def ray_length_to_z(depth: np.ndarray, Kn: np.ndarray) -> Optional[np.ndarray]:

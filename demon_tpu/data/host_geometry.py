@@ -24,42 +24,44 @@ import numpy as np
 
 def rotation_matrix_to_angleaxis(R: np.ndarray) -> np.ndarray:
     """R [3,3] -> angle-axis [3] (Eigen::AngleAxisd semantics,
-    reference multivih5datareader.cpp:252-261)."""
-    R = np.asarray(R, np.float64)
-    q = rotation_matrix_to_quaternion(R)
-    w = np.clip(q[0], -1.0, 1.0)
-    xyz = q[1:]
-    s = np.linalg.norm(xyz)
-    angle = 2.0 * np.arctan2(s, w)
+    reference multivih5datareader.cpp:252-261).
+
+    Scalar math on purpose: this runs per item in the reader's builder
+    threads, and numpy-scalar ops cost ~5 us each under the GIL."""
+    import math
+
+    qw, qx, qy, qz = rotation_matrix_to_quaternion(R)
+    w = min(1.0, max(-1.0, qw))
+    s = math.sqrt(qx * qx + qy * qy + qz * qz)
     if s < 1e-12:
-        return 2.0 * xyz
-    return xyz * (angle / s)
+        return np.array([2.0 * qx, 2.0 * qy, 2.0 * qz])
+    k = 2.0 * math.atan2(s, w) / s
+    return np.array([qx * k, qy * k, qz * k])
 
 
 def rotation_matrix_to_quaternion(R: np.ndarray) -> np.ndarray:
-    """R [3,3] -> (w, x, y, z), w >= 0. Shepperd's method."""
+    """R [3,3] -> (w, x, y, z), w >= 0. Shepperd's method (scalar math —
+    per-item hot path, see rotation_matrix_to_angleaxis)."""
+    import math
+
     m = np.asarray(R, np.float64)
-    tr = m[0, 0] + m[1, 1] + m[2, 2]
-    cand = np.array([1 + tr,
-                     1 + m[0, 0] - m[1, 1] - m[2, 2],
-                     1 - m[0, 0] + m[1, 1] - m[2, 2],
-                     1 - m[0, 0] - m[1, 1] + m[2, 2]])
-    i = int(np.argmax(cand))
-    s = np.sqrt(max(cand[i], 1e-12))
+    (m00, m01, m02), (m10, m11, m12), (m20, m21, m22) = m.tolist()
+    tr = m00 + m11 + m22
+    cand = (1.0 + tr, 1.0 + m00 - m11 - m22, 1.0 - m00 + m11 - m22,
+            1.0 - m00 - m11 + m22)
+    i = max(range(4), key=lambda j: cand[j])
+    s = math.sqrt(max(cand[i], 1e-12))
     if i == 0:
-        q = np.array([s, (m[2, 1] - m[1, 2]) / s, (m[0, 2] - m[2, 0]) / s,
-                      (m[1, 0] - m[0, 1]) / s])
+        q = (s, (m21 - m12) / s, (m02 - m20) / s, (m10 - m01) / s)
     elif i == 1:
-        q = np.array([(m[2, 1] - m[1, 2]) / s, s, (m[0, 1] + m[1, 0]) / s,
-                      (m[0, 2] + m[2, 0]) / s])
+        q = ((m21 - m12) / s, s, (m01 + m10) / s, (m02 + m20) / s)
     elif i == 2:
-        q = np.array([(m[0, 2] - m[2, 0]) / s, (m[0, 1] + m[1, 0]) / s, s,
-                      (m[1, 2] + m[2, 1]) / s])
+        q = ((m02 - m20) / s, (m01 + m10) / s, s, (m12 + m21) / s)
     else:
-        q = np.array([(m[1, 0] - m[0, 1]) / s, (m[0, 2] + m[2, 0]) / s,
-                      (m[1, 2] + m[2, 1]) / s, s])
-    q = q / np.linalg.norm(q)
-    return q if q[0] >= 0 else -q
+        q = ((m10 - m01) / s, (m02 + m20) / s, (m12 + m21) / s, s)
+    n = math.sqrt(q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3])
+    sign = 1.0 / n if q[0] >= 0 else -1.0 / n
+    return np.array([q[0] * sign, q[1] * sign, q[2] * sign, q[3] * sign])
 
 
 def angleaxis_to_rotation_matrix(aa: np.ndarray) -> np.ndarray:

@@ -40,6 +40,32 @@ from .webp import webp_decode
 MAX_PRELOADED_BATCHES = 4  # reference multivih5datareader.cpp:39
 MAX_VIEWPOINTS = 6         # reference multivih5datareader.cpp:843
 
+_malloc_tuned = False
+
+
+def _tune_malloc():
+    """Keep glibc from mmap/munmap-cycling the per-batch tensor buffers.
+
+    A 192x256 batch-32 IMAGE_PAIR buffer is ~38 MB; above glibc's default
+    M_MMAP_THRESHOLD (128 KB) every np.empty maps fresh pages and every
+    free returns them to the kernel, so each batch pays page faults +
+    kernel zeroing (~12 ms measured, 3x the actual assembly work). Raising
+    the mmap/trim thresholds makes malloc recycle the hot buffers. Process-
+    global and glibc-specific; silently skipped elsewhere."""
+    global _malloc_tuned
+    if _malloc_tuned:
+        return
+    _malloc_tuned = True
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_MMAP_THRESHOLD, M_TRIM_THRESHOLD = -3, -1
+        libc.mallopt(M_MMAP_THRESHOLD, 256 * 1024 * 1024)
+        libc.mallopt(M_TRIM_THRESHOLD, 256 * 1024 * 1024)
+    except Exception:
+        pass
+
 MOTION_FORMATS = ("ANGLEAXIS6", "ANGLEAXIS7", "QUATERNION", "FMATRIX")
 ALL_OUTPUTS = ("IMAGE_PAIR", "MOTION", "FLOW", "DEPTH", "INTRINSICS",
                "DEPTHMASKS", "SAMPLE_IDS")
@@ -527,10 +553,10 @@ class _BatchBuilder(threading.Thread):
                 if prepared_scene is None:
                     return
 
-            items = []
-            sample_ids = []
-            out_bufs: Optional[Dict[str, np.ndarray]] = None
-            while len(items) < p.batch_size and not r.quit.is_set():
+            # --- selection phase: cheap python (pool pick, motion encode,
+            # degenerate-pair rejection); heavy tensors come later ---------
+            metas: List[Dict] = []
+            while len(metas) < p.batch_size and not r.quit.is_set():
                 if prepared_scene is None:
                     prepared_scene = self._next_prepared_scene()
                     if prepared_scene is None:
@@ -549,7 +575,7 @@ class _BatchBuilder(threading.Thread):
                     else:
                         r.pool[self.scene_idx] = (scene, used)
 
-                batch_idx = len(items)
+                batch_idx = len(metas)
                 if not p.test_phase:
                     rotate180 = self.rng.rand() < p.augment_rot180
                     mirror_x = self.rng.rand() < p.augment_mirror_x
@@ -560,44 +586,94 @@ class _BatchBuilder(threading.Thread):
                 camvec1 = scene.cameras[pair[0]]
                 camvec2 = scene.cameras[pair[1]]
                 for cam1, cam2 in zip(camvec1, camvec2):
-                    if len(items) >= p.batch_size:
+                    if len(metas) >= p.batch_size:
                         break
-                    slot = None
-                    if out_bufs is not None:
-                        slot = {k: v[len(items)] for k, v in out_bufs.items()}
-                    item = self._build_item(scene, pair, cam1, cam2,
-                                            rotate180, mirror_x,
-                                            out_slots=slot)
-                    if item is None:
+                    meta = self._item_meta(scene, pair, cam1, cam2,
+                                           rotate180, mirror_x)
+                    if meta is None:
                         continue  # degenerate pair skipped
-                    if out_bufs is None:
-                        # learn shapes from the first item, then write the
-                        # big tensors of later items straight into the
-                        # batch buffers (skips the np.stack copy)
-                        out_bufs = {}
-                        for k in ("IMAGE_PAIR", "DEPTH"):
-                            if k in item:
-                                out_bufs[k] = np.empty(
-                                    (p.batch_size,) + item[k].shape,
-                                    np.float32)
-                                out_bufs[k][0] = item[k]
-                    items.append(item)
-                    sample_ids.append(
-                        f"{scene.scene_id}/frames/t0/v{pair[0]},v{pair[1]}")
+                    metas.append(meta)
 
             if r.quit.is_set():
                 return
-            batch = {k: np.stack([it[k] for it in items])
-                     for k in items[0] if k not in (out_bufs or {})}
-            for k, buf in (out_bufs or {}).items():
-                batch[k] = buf
-            batch["SAMPLE_IDS"] = sample_ids
+            batch = self._assemble_batch(metas)
             while not r.quit.is_set():
                 try:
                     r.batch_queue.put(batch, timeout=0.1)
                     break
                 except queue.Full:
                     continue
+
+    # -- whole-batch tensor assembly: ONE GIL-released native call fills
+    # every item's IMAGE_PAIR + DEPTH with an OpenMP team (native
+    # demon_build_batch); python handles the leftovers (photometric aug,
+    # gray, depth_pair, FLOW, DEPTHMASKS). Batch granularity is the
+    # difference between builder threads convoying on the GIL (~0.3 ms C
+    # sections) and scaling with host cores.
+    def _assemble_batch(self, metas: List[Dict]) -> Dict[str, np.ndarray]:
+        p = self.r.params
+        n = len(metas)
+        out: Dict[str, np.ndarray] = {}
+        if "MOTION" in p.top_output:
+            out["MOTION"] = np.stack([m["MOTION"] for m in metas])
+        if "INTRINSICS" in p.top_output:
+            out["INTRINSICS"] = np.stack([m["INTRINSICS"] for m in metas])
+
+        cam0 = metas[0]["cam1"]
+        h, w = cam0.height, cam0.width
+        img_buf = dep_buf = None
+        if "IMAGE_PAIR" in p.top_output:
+            ch = 2 if p.convert_to_gray_values else 6
+            img_buf = np.empty((n, h, w, ch), np.float32)
+        if "DEPTH" in p.top_output:
+            dch = 2 if p.depth_pair else 1
+            dep_buf = np.empty((n, h, w, dch), np.float32)
+
+        span = p.image_range_max - p.image_range_min
+        use_native = native.available()
+        img_native = img_buf is not None and use_native \
+            and not p.convert_to_gray_values
+        dep_native = dep_buf is not None and use_native and not p.depth_pair
+        img_filled = [False] * n
+        dep_filled = [False] * n
+        if img_native or dep_native:
+            img1s = [m["cam1"].image_u8 if img_native else None
+                     for m in metas]
+            img2s = [m["cam2"].image_u8 if img_native else None
+                     for m in metas]
+            deps = [m["cam1"].depth if dep_native else None for m in metas]
+            ok = native.build_batch(
+                img1s, img2s, deps, h, w, p.image_range_min, span,
+                np.array([m["depth_scale"] for m in metas], np.float32),
+                p.inverse_depth, p.min_depth, p.max_depth,
+                np.array([m["rot180"] for m in metas], np.uint8),
+                np.array([m["mirror_x"] for m in metas], np.uint8),
+                img_buf if img_native else None,
+                dep_buf if dep_native else None)
+            if ok:
+                img_filled = [a is not None and b is not None
+                              for a, b in zip(img1s, img2s)]
+                dep_filled = [d is not None for d in deps]
+
+        flows = []
+        masks = []
+        for i, m in enumerate(metas):
+            self._item_tensors(
+                m,
+                img_slot=None if img_buf is None else img_buf[i],
+                dep_slot=None if dep_buf is None else dep_buf[i],
+                img_filled=img_filled[i], dep_filled=dep_filled[i],
+                flows=flows, masks=masks)
+        if img_buf is not None:
+            out["IMAGE_PAIR"] = img_buf
+        if dep_buf is not None:
+            out["DEPTH"] = dep_buf
+        if flows:
+            out["FLOW"] = np.stack(flows)
+        if masks:
+            out["DEPTHMASKS"] = np.stack(masks)
+        out["SAMPLE_IDS"] = [m["sample_id"] for m in metas]
+        return out
 
     def _next_prepared_scene(self) -> Optional[_Scene]:
         while not self.r.quit.is_set():
@@ -611,15 +687,17 @@ class _BatchBuilder(threading.Thread):
             return scene
         return None
 
-    def _build_item(self, scene, pair, cam1: _Camera, cam2: _Camera,
-                    rotate180: bool, mirror_x: bool,
-                    out_slots: Optional[Dict[str, np.ndarray]] = None
-                    ) -> Optional[Dict[str, np.ndarray]]:
+    def _item_meta(self, scene, pair, cam1: _Camera, cam2: _Camera,
+                   rotate180: bool, mirror_x: bool) -> Optional[Dict]:
+        """Selection-time item state: pair motion (with augmentation
+        fixups, reference :1652-1786), intrinsics (:1784-1815), flags.
+        Returns None for degenerate pairs."""
         p = self.r.params
-        out: Dict[str, np.ndarray] = {}
-        out_slots = out_slots or {}
+        meta: Dict = {"cam1": cam1, "cam2": cam2, "rot180": rotate180,
+                      "mirror_x": mirror_x, "scene": scene,
+                      "sample_id":
+                          f"{scene.scene_id}/frames/t0/v{pair[0]},v{pair[1]}"}
 
-        # ---- motion (with augmentation fixups), reference :1652-1786 ----
         R1, t1 = cam1.R.copy(), cam1.t.copy()
         R2, t2 = cam2.R.copy(), cam2.t.copy()
         if rotate180:
@@ -641,52 +719,14 @@ class _BatchBuilder(threading.Thread):
         if p.norm_trans_scale_depth:
             depth_scale_factor = 1.0 / tnorm
             t12 = t12 / tnorm
+        meta["depth_scale"] = depth_scale_factor
 
         if "MOTION" in p.top_output:
-            out["MOTION"] = _encode_motion(
+            meta["MOTION"] = _encode_motion(
                 p.motion_format, R12, t12, R1, t1, R2, t2, cam1.K, cam2.K)
-            if out["MOTION"] is None:
+            if meta["MOTION"] is None:
                 return None
 
-        # ---- images ----
-        if "IMAGE_PAIR" in p.top_output:
-            span = p.image_range_max - p.image_range_min
-            if cam1.image_u8 is not None and native.available():
-                # fused C path (releases the GIL -> builder threads
-                # scale); writes straight into the batch buffer slot
-                img = native.assemble_image_pair(
-                    cam1.image_u8, cam2.image_u8, p.image_range_min, span,
-                    rotate180, mirror_x,
-                    out=out_slots.get("IMAGE_PAIR"))
-            else:
-                im1, im2 = cam1.image, cam2.image
-                if im1 is None:  # cached u8 without native library
-                    im1 = cam1.image_u8.astype(np.float32) * (span / 255.0) \
-                        + p.image_range_min
-                    im2 = cam2.image_u8.astype(np.float32) * (span / 255.0) \
-                        + p.image_range_min
-                img = np.concatenate([im1, im2], axis=-1)
-                if rotate180:
-                    img = img[::-1, ::-1]
-                if mirror_x:
-                    img = img[:, ::-1]
-                img = np.ascontiguousarray(img)
-            src = p.source[scene.source_id]
-            # photometric augmentation is color-only (reference
-            # augmentImage asserts 6 channels, multivih5datareader.cpp:646).
-            # Like the reference (:1642-1647) it applies whenever the source
-            # configures aug params — including test phase, where the single
-            # seeded builder thread keeps it deterministic; test configs
-            # simply don't set aug params.
-            if src.aug.any() and img.shape[-1] == 6:
-                img = hg.augment_image_pair(img, src.aug, self.rng)
-            slot = out_slots.get("IMAGE_PAIR")
-            if slot is not None and img is not slot:
-                slot[...] = img
-                img = slot
-            out["IMAGE_PAIR"] = img
-
-        # ---- intrinsics (with fixups), reference :1784-1815 ----
         if "INTRINSICS" in p.top_output:
             fx, fy = cam1.K[0, 0], cam1.K[1, 1]
             cx, cy = cam1.K[0, 2], cam1.K[1, 2]
@@ -694,7 +734,50 @@ class _BatchBuilder(threading.Thread):
                 cx, cy = 1 - cx, 1 - cy
             if mirror_x:
                 cx = 1 - cx
-            out["INTRINSICS"] = np.array([fx, fy, cx, cy], np.float32)
+            meta["INTRINSICS"] = np.array([fx, fy, cx, cy], np.float32)
+        return meta
+
+    def _item_tensors(self, meta: Dict, img_slot, dep_slot,
+                      img_filled: bool, dep_filled: bool,
+                      flows: List, masks: List) -> None:
+        """Per-item tensor work the batch-native call didn't cover:
+        python image/depth fallbacks, photometric augmentation, FLOW
+        (reference :1817-1843), DEPTHMASKS (:1908-1941)."""
+        p = self.r.params
+        cam1, cam2 = meta["cam1"], meta["cam2"]
+        rotate180, mirror_x = meta["rot180"], meta["mirror_x"]
+        depth_scale_factor = meta["depth_scale"]
+
+        if img_slot is not None:
+            span = p.image_range_max - p.image_range_min
+            if not img_filled:
+                if cam1.image_u8 is not None and native.available():
+                    native.assemble_image_pair(
+                        cam1.image_u8, cam2.image_u8, p.image_range_min,
+                        span, rotate180, mirror_x, out=img_slot)
+                else:
+                    im1, im2 = cam1.image, cam2.image
+                    if im1 is None:  # cached u8 without native library
+                        im1 = cam1.image_u8.astype(np.float32) \
+                            * (span / 255.0) + p.image_range_min
+                        im2 = cam2.image_u8.astype(np.float32) \
+                            * (span / 255.0) + p.image_range_min
+                    img = np.concatenate([im1, im2], axis=-1)
+                    if rotate180:
+                        img = img[::-1, ::-1]
+                    if mirror_x:
+                        img = img[:, ::-1]
+                    img_slot[...] = img
+            src = p.source[meta["scene"].source_id]
+            # photometric augmentation is color-only (reference
+            # augmentImage asserts 6 channels, multivih5datareader.cpp:646).
+            # Like the reference (:1642-1647) it applies whenever the source
+            # configures aug params — including test phase, where the single
+            # seeded builder thread keeps it deterministic; test configs
+            # simply don't set aug params.
+            if src.aug.any() and img_slot.shape[-1] == 6:
+                img_slot[...] = hg.augment_image_pair(
+                    np.ascontiguousarray(img_slot), src.aug, self.rng)
 
         # ---- flow (pixel units) with sign fixups, reference :1817-1843 ----
         if "FLOW" in p.top_output:
@@ -708,21 +791,11 @@ class _BatchBuilder(threading.Thread):
             if mirror_x:
                 flow = flow[:, ::-1].copy()
                 flow[..., 0] = -flow[..., 0]
-            out["FLOW"] = np.ascontiguousarray(flow)
+            flows.append(np.ascontiguousarray(flow))
 
         # ---- depth with NaN rules, reference :1845-1906 ----
-        if "DEPTH" in p.top_output:
+        if dep_slot is not None and not dep_filled:
             ds = [cam1.depth] + ([cam2.depth] if p.depth_pair else [])
-            depth_slot = out_slots.get("DEPTH")
-            if depth_slot is not None and not p.depth_pair and \
-                    native.available():
-                # single-channel fast path straight into the batch slot
-                native.prepare_depth(
-                    cam1.depth, depth_scale_factor, p.inverse_depth,
-                    p.min_depth, p.max_depth, rotate180, mirror_x,
-                    out=depth_slot[..., 0])
-                out["DEPTH"] = depth_slot
-                ds = []
             chans = []
             for d in ds:
                 if native.available():
@@ -746,12 +819,7 @@ class _BatchBuilder(threading.Thread):
                     if mirror_x:
                         d = d[:, ::-1]
                 chans.append(d)
-            if chans:
-                stacked = np.ascontiguousarray(np.stack(chans, axis=-1))
-                if depth_slot is not None:
-                    depth_slot[...] = stacked
-                    stacked = depth_slot
-                out["DEPTH"] = stacked
+            dep_slot[...] = np.stack(chans, axis=-1)
 
         # ---- depth-visibility masks, reference :1908-1941 ----
         if "DEPTHMASKS" in p.top_output:
@@ -764,17 +832,15 @@ class _BatchBuilder(threading.Thread):
                 return hg.compute_depthmask(
                     ca.depth, ca.K, ca.R, ca.t, cb.K, cb.R, cb.t, b1, b2)
 
-            masks = [_mask(cam1, cam2)]
+            m = [_mask(cam1, cam2)]
             if p.depth_pair:
-                masks.append(_mask(cam2, cam1))
-            m = np.stack(masks, axis=-1)
+                m.append(_mask(cam2, cam1))
+            m = np.stack(m, axis=-1)
             if rotate180:
                 m = m[::-1, ::-1]
             if mirror_x:
                 m = m[:, ::-1]
-            out["DEPTHMASKS"] = np.ascontiguousarray(m)
-
-        return out
+            masks.append(np.ascontiguousarray(m))
 
 
 def _encode_motion(fmt, R12, t12, R1, t1, R2, t2, K1, K2):
@@ -822,6 +888,7 @@ class MultiViH5DataReader:
     """
 
     def __init__(self, params):
+        _tune_malloc()
         self.params = params if isinstance(params, ReaderParams) \
             else ReaderParams.from_json(params)
         p = self.params

@@ -366,6 +366,37 @@ void demon_prepare_depth(const float* src, int h, int w, float scale,
   }
 }
 
-int demon_native_version(void) { return 2; }
+// Whole-batch tensor fill: one GIL-released call assembles every item's
+// IMAGE_PAIR and DEPTH with an OpenMP team across items. Batch granularity
+// is what makes python builder threads scale — per-item ctypes calls
+// bounce the GIL every ~0.3 ms, and the convoying caps throughput well
+// below core count (the reference gets the same effect by keeping whole
+// batches inside C++ builder threads, multivih5datareader.cpp:1522-1973).
+// img1s/img2s/depths are per-item pointers; any null entry is skipped
+// (python fills that slot via the fallback path). out_images / out_depths
+// may each be null when that output is not requested.
+void demon_build_batch(const uint8_t** img1s, const uint8_t** img2s,
+                       const float** depths, int n, int h, int w,
+                       float range_min, float range_span,
+                       const float* depth_scales, int inverse, float min_d,
+                       float max_d, const uint8_t* rot180s,
+                       const uint8_t* mirror_xs, float* out_images,
+                       float* out_depths) {
+#pragma omp parallel for schedule(dynamic, 1)
+  for (int i = 0; i < n; ++i) {
+    if (out_images && img1s[i] && img2s[i]) {
+      demon_assemble_image_pair(img1s[i], img2s[i], h, w, range_min,
+                                range_span, rot180s[i], mirror_xs[i],
+                                out_images + (size_t)i * h * w * 6);
+    }
+    if (out_depths && depths[i]) {
+      demon_prepare_depth(depths[i], h, w, depth_scales[i], inverse, min_d,
+                          max_d, rot180s[i], mirror_xs[i],
+                          out_depths + (size_t)i * h * w);
+    }
+  }
+}
+
+int demon_native_version(void) { return 3; }
 
 }  // extern "C"
