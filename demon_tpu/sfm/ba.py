@@ -139,10 +139,51 @@ def bundle_adjust(R: jax.Array, t: jax.Array, points: jax.Array,
     return R_out, t_out, X_out, costs
 
 
+def _block_jacobi_pcg(matvec, b, diag_blocks, iters, axis_name=None):
+    """Preconditioned conjugate gradients for the reduced camera system.
+
+    b, x: [N, 6]; diag_blocks: [N, 6, 6] (the 6x6 diagonal blocks of S,
+    used as a block-Jacobi preconditioner). `matvec` maps [N,6] -> [N,6].
+    Fixed iteration count (jit/scan-friendly); the system is SPD by
+    construction (damped Gauss-Newton normal equations).
+    """
+    Dinv = jnp.linalg.inv(diag_blocks)                       # [N,6,6]
+    precond = lambda r: jnp.einsum("nab,nb->na", Dinv, r)
+
+    def dot(a, c):
+        s = jnp.vdot(a, c)
+        # under shard_map the camera system is replicated (psum'd), so no
+        # cross-shard reduction is needed here; axis_name reserved for a
+        # camera-sharded variant
+        return s
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    p0 = z0
+
+    def body(state, _):
+        x, r, z, p, rz = state
+        Ap = matvec(p)
+        alpha = rz / (dot(p, Ap) + 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = dot(r, z)
+        beta = rz_new / (rz + 1e-30)
+        p = z + beta * p
+        return (x, r, z, p, rz_new), jnp.sqrt(jnp.sum(r * r))
+
+    (x, *_), res_hist = jax.lax.scan(
+        body, (x0, r0, z0, p0, dot(r0, z0)), None, length=iters)
+    return x, res_hist
+
+
 def bundle_adjust_sparse(R: jax.Array, t: jax.Array, points: jax.Array,
                          problem: BAProblem, iterations: int = 5,
                          damping: float = 1e-4, fix_first: bool = True,
-                         axis_name: Optional[str] = None):
+                         axis_name: Optional[str] = None,
+                         solver: str = "dense", cg_iters: int = 100):
     """Block-sparse variant of `bundle_adjust` for large camera counts.
 
     `bundle_adjust` differentiates every point residual w.r.t. ALL N
@@ -189,33 +230,76 @@ def bundle_adjust_sparse(R: jax.Array, t: jax.Array, points: jax.Array,
         S_blk, b_blk, Hpp_inv, bp, Hcp_all, cost = jax.vmap(blocks)(
             X, problem.cam_idx, problem.uv, problem.weight)
         cost = jnp.sum(cost)
-
-        # scatter-add the [O,6,O,6] pieces into the global [N,6,N,6]
-        ia = problem.cam_idx[:, :, None]           # [M, O, 1]
-        ib = problem.cam_idx[:, None, :]           # [M, 1, O]
-        S = jnp.zeros((n, 6, n, 6), R.dtype)
-        S = S.at[jnp.broadcast_to(ia, S_blk.shape[:1] + (obs, obs))
-                 .reshape(-1),
-                 :,
-                 jnp.broadcast_to(ib, S_blk.shape[:1] + (obs, obs))
-                 .reshape(-1),
-                 :].add(S_blk.transpose(0, 1, 3, 2, 4).reshape(-1, 6, 6))
-        b = jnp.zeros((n, 6), R.dtype)
-        b = b.at[problem.cam_idx.reshape(-1)].add(b_blk.reshape(-1, 6))
-
         if axis_name is not None:
-            S = jax.lax.psum(S, axis_name)
-            b = jax.lax.psum(b, axis_name)
             cost = jax.lax.psum(cost, axis_name)
 
-        S = S.reshape(n * 6, n * 6) + damping * jnp.eye(n * 6, dtype=R.dtype)
-        b = b.reshape(n * 6)
+        b = jnp.zeros((n, 6), R.dtype)
+        b = b.at[problem.cam_idx.reshape(-1)].add(b_blk.reshape(-1, 6))
+        if axis_name is not None:
+            b = jax.lax.psum(b, axis_name)
+
+        mask6 = None
         if fix_first:
-            mask = jnp.concatenate(
-                [jnp.zeros(6, R.dtype), jnp.ones(6 * (n - 1), R.dtype)])
-            S = S * mask[None, :] * mask[:, None] + jnp.diag(1.0 - mask)
-            b = b * mask
-        delta_c = -jnp.linalg.solve(S, b)
+            mask6 = jnp.concatenate(
+                [jnp.zeros((1, 6), R.dtype),
+                 jnp.ones((n - 1, 6), R.dtype)], axis=0)      # [N, 6]
+            b = b * mask6
+
+        if solver == "cg":
+            # matrix-free PCG: never assemble the [6N, 6N] system — S.v
+            # products gather/scatter through the stored per-point blocks
+            # (O(M O^2) memory; the dense path is O(N^2)).
+            Sb = S_blk.reshape(-1, obs, 6, obs, 6)
+
+            def core(v):
+                vl = v[problem.cam_idx]                      # [M, O, 6]
+                sv = jnp.einsum("moapb,mpb->moa", Sb, vl)
+                out = jnp.zeros((n, 6), R.dtype)
+                out = out.at[problem.cam_idx.reshape(-1)].add(
+                    sv.reshape(-1, 6))
+                if axis_name is not None:
+                    out = jax.lax.psum(out, axis_name)
+                return out + damping * v
+
+            if fix_first:
+                matvec = lambda v: mask6 * core(mask6 * v) + (1 - mask6) * v
+            else:
+                matvec = core
+
+            # block-Jacobi preconditioner from the 6x6 diagonal blocks
+            diag_blk = jax.vmap(lambda sb: jnp.stack(
+                [sb[o, :, o, :] for o in range(obs)]))(Sb)   # [M, O, 6, 6]
+            D = jnp.zeros((n, 6, 6), R.dtype)
+            D = D.at[problem.cam_idx.reshape(-1)].add(
+                diag_blk.reshape(-1, 6, 6))
+            if axis_name is not None:
+                D = jax.lax.psum(D, axis_name)
+            D = D + damping * jnp.eye(6, dtype=R.dtype)
+            if fix_first:
+                D = D.at[0].set(jnp.eye(6, dtype=R.dtype))
+
+            sol, _ = _block_jacobi_pcg(matvec, -b, D, cg_iters,
+                                       axis_name=axis_name)
+            delta_c = sol.reshape(n * 6)
+        else:
+            # scatter-add the [O,6,O,6] pieces into the global [N,6,N,6]
+            ia = problem.cam_idx[:, :, None]           # [M, O, 1]
+            ib = problem.cam_idx[:, None, :]           # [M, 1, O]
+            S = jnp.zeros((n, 6, n, 6), R.dtype)
+            S = S.at[jnp.broadcast_to(ia, S_blk.shape[:1] + (obs, obs))
+                     .reshape(-1),
+                     :,
+                     jnp.broadcast_to(ib, S_blk.shape[:1] + (obs, obs))
+                     .reshape(-1),
+                     :].add(S_blk.transpose(0, 1, 3, 2, 4).reshape(-1, 6, 6))
+            if axis_name is not None:
+                S = jax.lax.psum(S, axis_name)
+            S = S.reshape(n * 6, n * 6) \
+                + damping * jnp.eye(n * 6, dtype=R.dtype)
+            if fix_first:
+                m = mask6.reshape(-1)
+                S = S * m[None, :] * m[:, None] + jnp.diag(1.0 - m)
+            delta_c = -jnp.linalg.solve(S, b.reshape(n * 6))
 
         # back-substitute: dX = -Hpp^-1 (bp + Hcp' dc_local)
         dc_local = delta_c.reshape(n, 6)[problem.cam_idx]  # [M, O, 6]

@@ -216,9 +216,14 @@ def chain_sequence(engine, params, images: np.ndarray,
             preds_for_ba, result["R"][:-1].astype(np.float32),
             result["t"][:-1].astype(np.float32), scales, intr,
             points_per_frame=ba_points_per_frame)
+        # dense Schur solve up to a few hundred cameras; matrix-free
+        # block-Jacobi PCG beyond (the [6N,6N] factorization stops being
+        # the right tool around N~500)
+        solver = "dense" if n <= 500 else "cg"
         R_ba, t_ba, X_ba, ba_costs = jax.jit(
             lambda R, t, X: bundle_adjust_sparse(
-                R, t, X, problem, iterations=ba_iterations)
+                R, t, X, problem, iterations=ba_iterations,
+                solver=solver, cg_iters=30 * 6)
         )(jnp.asarray(result["R"], jnp.float32),
           jnp.asarray(result["t"], jnp.float32),
           jnp.asarray(points))

@@ -1,0 +1,203 @@
+#!/usr/bin/env python3
+"""Synthetic convergence run: train the evolution chain on generated
+scenes and measure eval-metric improvement over initialization.
+
+The reference's training artifact needs its multi-GB datasets
+(training/README.md); in an egress-less environment this script anchors
+the training stack instead: it generates geometrically consistent
+synthetic pairs (tools/synthetic.py), runs a shortened evolution chain
+with the production TrainingDriver, and evaluates flow-EPE / depth /
+motion metrics (eval/metrics.py, the reference protocol's definitions,
+examples/evaluation.py:312-321) on a held-out synthetic test set at
+init and after each evolution.
+
+Usage:
+    python examples/synthetic_convergence.py --out /tmp/demon_conv \
+        --train-scenes 600 --test-scenes 64 \
+        --steps 3000,2000,1000,1000,1000,1000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _enable_compilation_cache():
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     ".jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def engine_params_from_trainer(p):
+    return {
+        "bootstrap": {"params": {"netFlow1": p["netFlow1"],
+                                 "netDM1": p["netDM1"]}},
+        "iterative": {"params": {"netFlow2": p["netFlow2"],
+                                 "netDM2": p["netDM2"]}},
+        "refinement": {"params": {"netRefine": p["netRefine"]}},
+    }
+
+
+def evaluate_params(engine, trainer_params, test_h5, batch_size=16):
+    """Run the fused pipeline on the deterministic test reader and compute
+    the reference-protocol metrics (flow EPE px, depth L1-inv/sc-inv/
+    abs-rel, rotation deg, translation angle deg)."""
+    import jax.numpy as jnp
+
+    from demon_tpu.data import MultiViH5DataReader
+    from demon_tpu.eval import metrics as M
+    from demon_tpu.ops import resize_area, resize_nearest
+
+    params = engine_params_from_trainer(trainer_params)
+    reader_params = {
+        "batch_size": batch_size,
+        "test_phase": True,
+        "builder_threads": 1,
+        "inverse_depth": True,
+        "motion_format": "ANGLEAXIS6",
+        "norm_trans_scale_depth": True,
+        "scaled_height": 192,
+        "scaled_width": 256,
+        "scene_pool_size": 4,
+        "augment_rot180": 0,
+        "augment_mirror_x": 0,
+        "top_output": ("IMAGE_PAIR", "MOTION", "FLOW", "DEPTH",
+                       "INTRINSICS"),
+        "source": [{"path": test_h5, "weight": [{"t": 0, "v": 1.0}]}],
+    }
+    rows = []
+    with MultiViH5DataReader(reader_params) as reader:
+        for batch in reader:
+            ip = jnp.asarray(batch["IMAGE_PAIR"])
+            # image2 at level 2, same area-downsampling the trainer uses
+            i22 = resize_area(ip[..., 3:], 48, 64)
+            intr = jnp.asarray(batch["INTRINSICS"])
+            out = engine.predict(params, ip, i22, intr)
+            H, W = 192, 256
+            flow_pred = np.asarray(resize_nearest(
+                out.prediction.flow2.astype(jnp.float32), H, W))
+            flow_pred = flow_pred * np.array([W, H], np.float32)  # px
+            depth_pred = np.asarray(resize_nearest(
+                out.prediction.depth2.astype(jnp.float32), H, W))[..., 0]
+            depth_refined = np.asarray(
+                out.depth_refined.astype(jnp.float32))[..., 0]
+            rot = np.asarray(out.prediction.rotation, np.float32)
+            tra = np.asarray(out.prediction.translation, np.float32)
+
+            for i in range(ip.shape[0]):
+                gt_flow = batch["FLOW"][i]
+                gt_depth_inv = batch["DEPTH"][i][..., 0]  # inverse depth
+                motion_gt = batch["MOTION"][i]
+                epe = M.compute_flow_epe(
+                    np.transpose(flow_pred[i], (2, 0, 1)),
+                    np.transpose(gt_flow, (2, 0, 1)))
+                valid = np.isfinite(gt_depth_inv) & (gt_depth_inv > 0)
+                dp = np.where(depth_pred[i] > 1e-6, depth_pred[i], np.nan)
+                dr = np.where(depth_refined[i] > 1e-6, depth_refined[i],
+                              np.nan)
+                gt = np.where(valid, gt_depth_inv, np.nan)
+                rot_err, tran_err, tran_ang = M.compute_motion_errors(
+                    np.concatenate([rot[i], tra[i]]), motion_gt, True)
+                rows.append({
+                    "flow_epe": epe,
+                    "depth_l1_inverse": M.l1_inverse(1.0 / dp, 1.0 / gt),
+                    "depth_sc_inv": M.scale_invariant(1.0 / dp, 1.0 / gt),
+                    "depth_l1_inverse_refined": M.l1_inverse(1.0 / dr,
+                                                             1.0 / gt),
+                    "rot_err_deg": rot_err,
+                    "tran_angle_err_deg": tran_ang,
+                })
+    return {k: float(np.nanmean([r[k] for r in rows])) for k in rows[0]}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--train-scenes", type=int, default=600)
+    ap.add_argument("--test-scenes", type=int, default=64)
+    ap.add_argument("--steps", default="3000,2000,1000,1000,1000,1000",
+                    help="per-evolution step caps (6 comma-separated)")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch-iterative", type=int, default=8)
+    ap.add_argument("--eval-every-evo", action="store_true", default=True)
+    args = ap.parse_args()
+
+    _enable_compilation_cache()
+    import jax
+
+    from demon_tpu.data.cache import build_scene_cache
+    from demon_tpu.engine.inference import DemonEngine
+    from demon_tpu.tools.synthetic import write_dataset
+    from demon_tpu.train.driver import TrainingDriver
+    from demon_tpu.train.trainer import EVOLUTIONS, TrainConfig
+
+    os.makedirs(args.out, exist_ok=True)
+    steps = [int(s) for s in args.steps.split(",")]
+    assert len(steps) == len(EVOLUTIONS)
+
+    print("generating datasets...", flush=True)
+    train_h5 = write_dataset(os.path.join(args.out, "synthetic_train.h5"),
+                             args.train_scenes, seed=0, verbose=True)
+    test_h5 = write_dataset(os.path.join(args.out, "synthetic_test.h5"),
+                            args.test_scenes, seed=777)
+    cache_dir = os.path.join(args.out, "cache")
+    build_scene_cache(train_h5, cache_dir, 192, 256, verbose=False)
+    print("datasets ready", flush=True)
+
+    cfg = TrainConfig(batch_size=args.batch,
+                      batch_size_iterative=args.batch_iterative)
+    engine = DemonEngine(variant=cfg.variant, iterations=3)
+    driver = TrainingDriver(
+        train_dir=os.path.join(args.out, "training"),
+        sources=[{"path": train_h5, "weight": [{"t": 0, "v": 1.0}]}],
+        config=cfg,
+        display_interval=50,
+        saver_interval=100_000,
+        recovery_interval=1_000,
+        check_numerics_interval=500,
+        cache_dir=cache_dir,
+    )
+
+    results = {}
+    t0 = time.time()
+    init_params = driver.trainer.init_params(jax.random.key(0))
+    print("evaluating at init...", flush=True)
+    eval_bs = min(args.batch, args.test_scenes)
+    results["init"] = evaluate_params(engine, init_params, test_h5,
+                                      batch_size=eval_bs)
+    print(json.dumps(results["init"], indent=1), flush=True)
+
+    for evo, cap in zip(EVOLUTIONS, steps):
+        driver.max_steps = cap
+        print(f"\n=== evolution {evo} ({cap} steps) ===", flush=True)
+        out = driver.run_evolution(evo)
+        results[evo] = evaluate_params(engine, out["params"], test_h5,
+                                       batch_size=eval_bs)
+        results[evo]["final_loss"] = out["metrics"].get("total_loss")
+        print(json.dumps(results[evo], indent=1), flush=True)
+        with open(os.path.join(args.out, "convergence_results.json"),
+                  "w") as f:
+            json.dump(results, f, indent=1)
+
+    results["wall_hours"] = (time.time() - t0) / 3600.0
+    with open(os.path.join(args.out, "convergence_results.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print("\nDONE", json.dumps(results, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()

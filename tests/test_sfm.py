@@ -212,3 +212,95 @@ def test_bundle_adjust_sparse_matches_dense():
     np.testing.assert_allclose(np.asarray(R_s), np.asarray(R_d), atol=1e-5)
     np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_d), atol=1e-5)
     np.testing.assert_allclose(np.asarray(X_s), np.asarray(X_d), atol=1e-4)
+
+
+def test_bundle_adjust_cg_matches_dense():
+    """The matrix-free block-Jacobi PCG solve must reproduce the dense
+    Schur solve (same assembled system, different solver)."""
+    from demon_tpu.sfm.ba import bundle_adjust_sparse
+
+    rng = np.random.RandomState(11)
+    R_gt, t_gt, X_gt, intr, problem = _make_ba_problem(rng, n_cams=5,
+                                                       n_pts=50)
+    n = R_gt.shape[0]
+    xi_n = rng.randn(n, 6) * 0.02
+    xi_n[0] = 0
+    dR, dt = se3_exp(jnp.asarray(xi_n))
+    R0, t0 = se3_compose(dR, dt, R_gt, t_gt)
+    X0 = X_gt + jnp.asarray(rng.randn(*X_gt.shape) * 0.04)
+
+    R_d, t_d, X_d, c_d = jax.jit(
+        lambda R, t, X: bundle_adjust_sparse(R, t, X, problem, iterations=4)
+    )(R0, t0, X0)
+    R_c, t_c, X_c, c_c = jax.jit(
+        lambda R, t, X: bundle_adjust_sparse(R, t, X, problem, iterations=4,
+                                             solver="cg", cg_iters=120)
+    )(R0, t0, X0)
+
+    np.testing.assert_allclose(np.asarray(c_c), np.asarray(c_d), rtol=1e-4,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(R_c), np.asarray(R_d), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_d), atol=1e-4)
+
+
+def test_bundle_adjust_cg_1000_cameras():
+    """Trajectory-scale BA: 1000 cameras, matrix-free CG (the dense
+    [6N,6N] solve would need ~144 MB + O(N^3) factorization). A long
+    noisy trajectory must optimize in-memory and reduce both reprojection
+    cost and pose error (VERDICT round-1 item 8)."""
+    from demon_tpu.sfm.ba import BAProblem, _project, bundle_adjust_sparse
+
+    rng = np.random.RandomState(3)
+    n_cams, n_pts, obs = 1000, 4000, 4
+
+    # forward-moving trajectory with small per-step rotations
+    xi = np.zeros((n_cams, 6))
+    xi[:, 3] = 0.04  # step in x
+    xi[:, :3] = rng.randn(n_cams, 3) * 0.003
+    xi[0] = 0
+    R_list, t_list = [np.eye(3)], [np.zeros(3)]
+    for i in range(1, n_cams):
+        dR = np.asarray(se3_exp(jnp.asarray(xi[i][None]))[0])[0]
+        dtv = np.asarray(se3_exp(jnp.asarray(xi[i][None]))[1])[0]
+        R_list.append(dR @ R_list[-1])
+        t_list.append(dR @ t_list[-1] + dtv)
+    R_gt = jnp.asarray(np.stack(R_list))
+    t_gt = jnp.asarray(np.stack(t_list)) + jnp.asarray([0.0, 0.0, 3.0])
+
+    # each point observed by `obs` consecutive cameras near its anchor
+    anchor = rng.randint(0, n_cams - obs, n_pts)
+    cam_idx = jnp.asarray(
+        anchor[:, None] + np.arange(obs)[None], jnp.int32)
+    # points scattered along the trajectory tube (world coords)
+    X_gt = np.zeros((n_pts, 3))
+    X_gt[:, 0] = -anchor * 0.04 + rng.uniform(-0.5, 0.5, n_pts)
+    X_gt[:, 1] = rng.uniform(-1, 1, n_pts)
+    X_gt[:, 2] = rng.uniform(-1, 1, n_pts)
+    X_gt = jnp.asarray(X_gt)
+    intr = jnp.asarray([0.9, 1.1, 0.5, 0.5])
+    uv = jax.vmap(
+        lambda X, ci: _project(R_gt[ci], t_gt[ci], X, intr)[0]
+    )(X_gt, cam_idx)
+    weight = jnp.ones((n_pts, obs))
+    problem = BAProblem(cam_idx=cam_idx, uv=uv, weight=weight,
+                        intrinsics=intr)
+
+    # perturb
+    xi_n = rng.randn(n_cams, 6) * 0.004
+    xi_n[0] = 0
+    dR, dt = se3_exp(jnp.asarray(xi_n))
+    R0, t0 = se3_compose(dR, dt, R_gt, t_gt)
+    X0 = X_gt + jnp.asarray(rng.randn(n_pts, 3) * 0.02)
+
+    R_o, t_o, X_o, costs = jax.jit(
+        lambda R, t, X: bundle_adjust_sparse(
+            R, t, X, problem, iterations=3, damping=1e-5,
+            solver="cg", cg_iters=150)
+    )(R0, t0, X0)
+
+    costs = np.asarray(costs)
+    assert costs[-1] < 1e-3 * costs[0], costs
+    # pose error shrinks (translation RMSE vs ground truth)
+    err0 = float(np.sqrt(np.mean((np.asarray(t0) - np.asarray(t_gt)) ** 2)))
+    err1 = float(np.sqrt(np.mean((np.asarray(t_o) - np.asarray(t_gt)) ** 2)))
+    assert err1 < 0.3 * err0, (err0, err1)
