@@ -57,6 +57,8 @@ class DemonEngine:
         self.refinement = RefinementNet(variant=variant, dtype=dtype)
         self._jit_predict = jax.jit(self._predict)
         self._jit_predict_eval = jax.jit(self._predict_eval)
+        self._jit_refine = jax.jit(
+            lambda p, i, d: self.refinement.apply(p, i, d))
 
     # ------------------------------------------------------------------
     def init(self, rng, batch_size: int = 1) -> Dict[str, Any]:
@@ -161,6 +163,29 @@ class DemonEngine:
                 jnp.asarray(DEMON_INTRINSICS), (image_pair.shape[0], 4)
             )
         return self._jit_predict_eval(params, image_pair, image2_2, intrinsics)
+
+    # ------------------------------------------------------------------
+    def refine(self, params, image1, depth2, mesh=None):
+        """Run the refinement net alone at arbitrary resolution.
+
+        With a mesh carrying a 'space' axis, the image HEIGHT is sharded
+        across it (spatial partitioning): activations of one image split
+        across chips and GSPMD inserts the conv halo exchanges at the
+        seams. This is the production path for resolutions whose
+        refinement activations outgrow a single chip (192x256 DeMoN ops
+        fit one chip; 4k-class refinement does not). image1: [B, H, W, 3];
+        depth2: [B, h, w, 1] (any coarse size — nearest-upsampled inside).
+        """
+        if mesh is not None:
+            from .sharding import replicate_pytree, spatial_sharding
+
+            image1 = jax.device_put(
+                image1, spatial_sharding(mesh, jnp.ndim(image1)))
+            depth2 = jax.device_put(
+                depth2, spatial_sharding(mesh, jnp.ndim(depth2)))
+            params = {"refinement":
+                      replicate_pytree(params["refinement"], mesh)}
+        return self._jit_refine(params["refinement"], image1, depth2)
 
 
 def prepare_input_pair(img1: np.ndarray, img2: np.ndarray) -> Dict[str, np.ndarray]:

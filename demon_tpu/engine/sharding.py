@@ -43,6 +43,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spatial_sharding(mesh: Mesh, ndim: int, data_axis: str = "data",
+                     space_axis: str = "space") -> NamedSharding:
+    """Batch over `data_axis` AND image height (dim 1, NHWC) over
+    `space_axis` — spatial partitioning for resolutions whose activations
+    outgrow one chip. Under jit, GSPMD inserts the halo exchanges every
+    convolution needs at the height seams automatically."""
+    if space_axis not in mesh.axis_names:
+        raise ValueError(f"mesh {mesh.axis_names} has no '{space_axis}' axis")
+    data = data_axis if data_axis in mesh.axis_names else None
+    return NamedSharding(mesh, P(data, space_axis, *([None] * (ndim - 2))))
+
+
 def shard_pytree(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
     """Device_put a pytree of batch-major arrays with batch-dim sharding."""
 

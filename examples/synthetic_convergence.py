@@ -105,19 +105,26 @@ def evaluate_params(engine, trainer_params, test_h5, batch_size=16):
                 epe = M.compute_flow_epe(
                     np.transpose(flow_pred[i], (2, 0, 1)),
                     np.transpose(gt_flow, (2, 0, 1)))
-                valid = np.isfinite(gt_depth_inv) & (gt_depth_inv > 0)
-                dp = np.where(depth_pred[i] > 1e-6, depth_pred[i], np.nan)
-                dr = np.where(depth_refined[i] > 1e-6, depth_refined[i],
-                              np.nan)
-                gt = np.where(valid, gt_depth_inv, np.nan)
+                gt_ok = np.isfinite(gt_depth_inv) & (gt_depth_inv > 0)
+
+                def depth_metrics(pred_inv):
+                    ok = gt_ok & np.isfinite(pred_inv) & (pred_inv > 1e-6)
+                    if not ok.any():
+                        return float("nan"), float("nan"), 0.0
+                    dp, gt = 1.0 / pred_inv[ok], 1.0 / gt_depth_inv[ok]
+                    return (M.l1_inverse(dp, gt), M.scale_invariant(dp, gt),
+                            float(ok.mean()))
+
+                l1i, sci, frac = depth_metrics(depth_pred[i])
+                l1i_r, _, _ = depth_metrics(depth_refined[i])
                 rot_err, tran_err, tran_ang = M.compute_motion_errors(
                     np.concatenate([rot[i], tra[i]]), motion_gt, True)
                 rows.append({
                     "flow_epe": epe,
-                    "depth_l1_inverse": M.l1_inverse(1.0 / dp, 1.0 / gt),
-                    "depth_sc_inv": M.scale_invariant(1.0 / dp, 1.0 / gt),
-                    "depth_l1_inverse_refined": M.l1_inverse(1.0 / dr,
-                                                             1.0 / gt),
+                    "depth_l1_inverse": l1i,
+                    "depth_sc_inv": sci,
+                    "depth_valid_frac": frac,
+                    "depth_l1_inverse_refined": l1i_r,
                     "rot_err_deg": rot_err,
                     "tran_angle_err_deg": tran_ang,
                 })

@@ -84,3 +84,32 @@ def test_data_parallel_inference_mesh():
     r_diff = np.abs(np.asarray(sharded.prediction.rotation, np.float32)
                     - np.asarray(single.prediction.rotation, np.float32))
     assert r_diff.mean() < 0.05, r_diff.mean()
+
+
+def test_spatially_sharded_refinement_matches_single_device():
+    """The 'space' axis for real: refinement at 384x512 with the image
+    height sharded sp=2 (GSPMD halo exchanges at the seams) must match
+    the unsharded single-device result (VERDICT round-1 item 6)."""
+    from demon_tpu.engine.inference import DemonEngine
+    from demon_tpu.engine.sharding import make_mesh
+
+    engine = DemonEngine(variant="v1", iterations=1)
+    H, W = 384, 512
+    rng = np.random.RandomState(0)
+    image1 = rng.rand(2, H, W, 3).astype(np.float32) - 0.5
+    depth2 = rng.uniform(0.5, 2.0, (2, H // 4, W // 4, 1)).astype(np.float32)
+
+    # init the refinement net alone at this resolution
+    refine_params = jax.jit(engine.refinement.init)(
+        jax.random.key(0), jnp.asarray(image1), jnp.asarray(depth2))
+    params = {"refinement": refine_params}
+
+    single = np.asarray(engine.refine(
+        params, jnp.asarray(image1), jnp.asarray(depth2))["predict_depth0"])
+
+    mesh = make_mesh((2, 2, 2), ("data", "model", "space"))
+    sharded_out = engine.refine(params, image1, depth2, mesh=mesh)
+    sharded = np.asarray(sharded_out["predict_depth0"])
+
+    assert sharded.shape == single.shape == (2, H, W, 1)
+    np.testing.assert_allclose(sharded, single, atol=2e-5, rtol=1e-5)
