@@ -139,40 +139,69 @@ def convrelu2(x, features, kernel, *, name, pad_mode, stride=1, dtype=jnp.float3
     return leaky_relu(y)
 
 
+class PhaseUpconv(nn.Module):
+    """4x4 stride-2 transpose conv as ONE dense 2x2 conv over output phases.
+
+    A stride-2 transpose conv realized the textbook way (input dilation +
+    full conv) feeds the MXU a 75%-zeros operand. Instead, each output
+    pixel (2j+ry, 2l+rx) only sees a fixed 2x2 window of the input through
+    a fixed 2x2 slice of the 4x4 kernel, so the whole op is a single
+    stride-1 VALID conv with 4*features output channels (one per phase)
+    followed by a zero-FLOP interleave — 4x less MXU work and better lane
+    utilization for small `features`. Parameter tree (kernel [4,4,in,out],
+    bias [out]) is identical to nn.ConvTranspose, so converted TF weights
+    (tools/converter.py) map unchanged.
+
+    Produces the full VALID output [B, 2H+2, 2W+2, C]; callers slice.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        cout = self.features
+        kernel = self.param("kernel", _kernel_init(), (4, 4, cin, cout),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (cout,), jnp.float32)
+        k = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        # lax.conv_transpose (transpose_kernel=False) computes
+        #   y[o] = sum_d K[d] * x_dil[o + d - 3]   (full padding, x dilated)
+        # so y[2j+r] = K[3-r]*x[j] + K[1-r]*x[j+1] per axis. Grouping taps by
+        # phase r and window offset d in {0,1} (window x[j-1+d] of the
+        # 1-padded input) gives tap weight K[2d + (1-r)].
+        kr = k.reshape(2, 2, 2, 2, cin, cout)       # [dy, 1-ry, dx, 1-rx, i, o]
+        kr = jnp.flip(kr, axis=(1, 3))              # [dy, ry, dx, rx, i, o]
+        kr = kr.transpose(0, 2, 4, 1, 3, 5)         # [dy, dx, i, ry, rx, o]
+        kr = kr.reshape(2, 2, cin, 4 * cout)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            xp, kr, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        b, hp, wp, _ = y.shape
+        y = y.reshape(b, hp, wp, 2, 2, cout)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * hp, 2 * wp, cout)
+        return y + bias.astype(self.dtype)
+
+
 def upconv(x, features, *, name, pad_mode, activate, dtype=jnp.float32,
            target_hw=None):
-    """4x4 stride-2 transposed convolution.
+    """4x4 stride-2 transposed convolution (phase-decomposed, see PhaseUpconv).
 
     pad_mode 'same': output = 2*input (reference _upsample_prediction /
-    v2 _refine upconv).
+    v2 _refine upconv) — equals the full-VALID output sliced [1:1+2H].
     pad_mode 'caffe': VALID transpose conv (output 2*input + 2) followed by
     a [1:1+2H, 1:1+2W] slice — the reference v1 trick
     (blocks_original.py:97-110); `target_hw` gives the slice size.
     """
-    if pad_mode == "same":
-        y = nn.ConvTranspose(
-            features=features,
-            kernel_size=(4, 4),
-            strides=(2, 2),
-            padding="SAME",
-            kernel_init=_kernel_init(),
-            dtype=dtype,
-            name=name,
-        )(x)
-    else:
-        y = nn.ConvTranspose(
-            features=features,
-            kernel_size=(4, 4),
-            strides=(2, 2),
-            padding="VALID",
-            kernel_init=_kernel_init(),
-            dtype=dtype,
-            name=name,
-        )(x)
-        if target_hw is None:
-            target_hw = (2 * x.shape[1], 2 * x.shape[2])
-        th, tw = target_hw
-        y = y[:, 1 : 1 + th, 1 : 1 + tw, :]
+    y = PhaseUpconv(features=features, dtype=dtype, name=name)(x)
+    if target_hw is None or pad_mode == "same":
+        target_hw = (2 * x.shape[1], 2 * x.shape[2])
+    th, tw = target_hw
+    y = y[:, 1 : 1 + th, 1 : 1 + tw, :]
     return leaky_relu(y) if activate else y
 
 

@@ -47,16 +47,35 @@ def _smooth_noise(rng, h, w, channels, base=8, octaves=3, amp=1.0):
     return np.clip(out, 0.0, 1.0)
 
 
+def _bilinear_warp_np(image: np.ndarray, flow_px: np.ndarray) -> np.ndarray:
+    """Numpy backward warp (clamp border): out(x) = image(x + flow(x)).
+    Host-side twin of ops.warp2d for the generator — scene synthesis must
+    not dispatch device ops (pathological over a remote TPU transport)."""
+    h, w = image.shape[:2]
+    xs = np.arange(w)[None, :] + flow_px[..., 0]
+    ys = np.arange(h)[:, None] + flow_px[..., 1]
+    xs = np.clip(xs, 0, w - 1)
+    ys = np.clip(ys, 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 2)
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 2)
+    wx = (xs - x0)[..., None]
+    wy = (ys - y0)[..., None]
+    im = image if image.ndim == 3 else image[..., None]
+    v00 = im[y0, x0]
+    v01 = im[y0, x0 + 1]
+    v10 = im[y0 + 1, x0]
+    v11 = im[y0 + 1, x0 + 1]
+    out = (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy)
+           + v10 * (1 - wx) * wy + v11 * wx * wy)
+    return out if image.ndim == 3 else out[..., 0]
+
+
 def make_scene(rng: np.random.RandomState, height: int = 192,
                width: int = 256,
                max_rotation: float = 0.08,
                baseline_range: Tuple[float, float] = (0.05, 0.25)
                ) -> Tuple[View, View]:
     """One consistent two-view scene: returns (view1, view2)."""
-    import jax.numpy as jnp
-
-    from .. import ops
-
     h, w = height, width
     K = np.array([[_INTR[0] * w, 0, _INTR[2] * w],
                   [0, _INTR[1] * h, _INTR[3] * h],
@@ -86,11 +105,8 @@ def make_scene(rng: np.random.RandomState, height: int = 192,
     flow_px = hg.compute_flow(depth1, Kn, R1, t1, Kn, R2, t2)  # [h,w,2] px
 
     # image1 = texture (view-2 image) backward-warped by the GT flow
-    flow_norm = flow_px / np.array([w, h], np.float32)
     img2_f = tex2.astype(np.float32) / 255.0
-    img1_f = np.asarray(ops.warp2d(
-        jnp.asarray(img2_f[None]), jnp.asarray(flow_norm[None]),
-        normalized=True, border_mode="clamp"))[0]
+    img1_f = _bilinear_warp_np(img2_f, flow_px)
     img1 = np.clip(img1_f * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
     # view-2 depth: z of the transformed points, resampled into frame 2
@@ -102,10 +118,7 @@ def make_scene(rng: np.random.RandomState, height: int = 192,
         (rays[..., 1:] / h - _INTR[3]) / _INTR[1],
         np.ones((h, w, 1))], axis=-1) * depth1[..., None]
     z2 = (X1 @ R12.T + t12)[..., 2].astype(np.float32)
-    depth2 = np.asarray(ops.warp2d(
-        jnp.asarray(z2[None, ..., None]), jnp.asarray(-flow_norm[None]),
-        normalized=True, border_mode="clamp"))[0, ..., 0]
-    depth2 = np.maximum(depth2, 0.1)
+    depth2 = np.maximum(_bilinear_warp_np(z2, -flow_px), 0.1)
 
     v1 = View(R=R1, t=t1, K=K, image=img1, depth=depth1,
               depth_metric="camera_z")

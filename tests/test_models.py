@@ -118,3 +118,34 @@ def test_caffe_padding_differs_from_same(rng):
     b = m2.apply(p, x)
     assert a.shape == b.shape == (1, 8, 8, 4)
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_phase_upconv_matches_conv_transpose(rng):
+    """The phase-decomposed upconv (one dense 2x2 conv over the four output
+    phases + interleave) must equal flax's nn.ConvTranspose bit-for-bit up to
+    fp32 roundoff, for both padding geometries (VALID full output and SAME ==
+    VALID[1:1+2H]). Exactness matters: the converter maps TF conv2d_transpose
+    weights onto this parameter tree (tools/converter.py:46-75)."""
+    import flax.linen as nn
+    from demon_tpu.models.layers import PhaseUpconv
+
+    B, H, W, Cin, Cout = 2, 6, 9, 5, 3
+    x = jnp.asarray(rng.randn(B, H, W, Cin).astype(np.float32))
+    k = jnp.asarray(rng.randn(4, 4, Cin, Cout).astype(np.float32))
+    b = jnp.asarray(rng.randn(Cout).astype(np.float32))
+    params = {"params": {"kernel": k, "bias": b}}
+
+    ref_valid = nn.ConvTranspose(
+        features=Cout, kernel_size=(4, 4), strides=(2, 2), padding="VALID"
+    ).apply(params, x)
+    ref_same = nn.ConvTranspose(
+        features=Cout, kernel_size=(4, 4), strides=(2, 2), padding="SAME"
+    ).apply(params, x)
+    got = PhaseUpconv(features=Cout).apply(params, x)
+
+    assert got.shape == (B, 2 * H + 2, 2 * W + 2, Cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_valid),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(got[:, 1 : 1 + 2 * H, 1 : 1 + 2 * W, :]),
+        np.asarray(ref_same), atol=2e-5, rtol=1e-5)
