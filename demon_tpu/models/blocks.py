@@ -124,6 +124,7 @@ class FlowBlock(nn.Module):
 
     variant: str = "v1"
     dtype: jnp.dtype = jnp.float32
+    pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -135,7 +136,7 @@ class FlowBlock(nn.Module):
     ) -> Dict[str, jax.Array]:
         v1 = self.variant == "v1"
         pad = "caffe" if v1 else "same"
-        cp = dict(pad_mode=pad, dtype=self.dtype)
+        cp = dict(pad_mode=pad, dtype=self.dtype, pallas=self.pallas)
 
         conv1 = convrelu2(image_pair, 32 if v1 else (24, 32), 9, name="conv1",
                           stride=2, **cp)
@@ -219,6 +220,7 @@ class DepthMotionBlock(nn.Module):
 
     variant: str = "v1"
     dtype: jnp.dtype = jnp.float32
+    pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -233,7 +235,7 @@ class DepthMotionBlock(nn.Module):
     ) -> Dict[str, jax.Array]:
         v1 = self.variant == "v1"
         pad = "caffe" if v1 else "same"
-        cp = dict(pad_mode=pad, dtype=self.dtype)
+        cp = dict(pad_mode=pad, dtype=self.dtype, pallas=self.pallas)
 
         conv1 = convrelu2(image_pair, 32 if v1 else (24, 32), 9, name="conv1",
                           stride=2, **cp)
@@ -327,12 +329,13 @@ class RefinementBlock(nn.Module):
 
     variant: str = "v1"
     dtype: jnp.dtype = jnp.float32
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, image1: jax.Array, depth2: jax.Array) -> Dict[str, jax.Array]:
         v1 = self.variant == "v1"
         pad = "caffe" if v1 else "same"
-        cp = dict(pad_mode=pad, dtype=self.dtype)
+        cp = dict(pad_mode=pad, dtype=self.dtype, pallas=self.pallas)
 
         H, W = image1.shape[1], image1.shape[2]
         depth_up = ops.resize_nearest(depth2, H, W)

@@ -72,11 +72,13 @@ class Conv2D(nn.Module):
 
 
 def conv2d(x, features, kernel, *, name, pad_mode, stride=1, dtype=jnp.float32,
-           activate=False):
+           activate=False, pallas=False):
     """Functional helper usable inside a parent @nn.compact context.
 
     Creates an unwrapped nn.Conv named `name` (matching the reference's
-    tf.layers.conv2d variable scope)."""
+    tf.layers.conv2d variable scope). `pallas` is accepted for call-site
+    uniformity with convrelu2 and ignored (single convs stay on XLA)."""
+    del pallas
     ky, kx = _pair(kernel)
     sy, sx = _pair(stride)
     if pad_mode == "caffe":
@@ -95,21 +97,65 @@ def conv2d(x, features, kernel, *, name, pad_mode, stride=1, dtype=jnp.float32,
     return leaky_relu(y) if activate else y
 
 
-def convrelu(x, features, kernel, *, name, pad_mode, stride=1, dtype=jnp.float32):
+def convrelu(x, features, kernel, *, name, pad_mode, stride=1, dtype=jnp.float32,
+             pallas=False):
     """conv + leaky-ReLU (reference helpers.py:97-102 / v2/helpers.py:38-43)."""
+    del pallas
     return conv2d(
         x, features, kernel, name=name, pad_mode=pad_mode, stride=stride,
         dtype=dtype, activate=True,
     )
 
 
-def convrelu2(x, features, kernel, *, name, pad_mode, stride=1, dtype=jnp.float32):
+class _ConvParams(nn.Module):
+    """Parameter holder with the exact tree of an nn.Conv (kernel+bias),
+    for layers computed by a custom kernel instead of nn.Conv.__call__."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", _kernel_init(), self.shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.shape[-1],),
+                          jnp.float32)
+        return kernel, bias
+
+
+def _pallas_pair_fits(x, fy, fx, kernel, dtype) -> bool:
+    """Whether the fused pallas pair's per-image VMEM working set fits.
+
+    Lanes pad channels to 128; fp32 accumulators double buffer the two
+    matmul chains. Budget ~16 MB/core; keep the estimate under half."""
+    b, h, w, cin = x.shape
+    lane = lambda c: -(-c // 128) * 128
+    bpe = 2 if dtype == jnp.bfloat16 else 4
+    x_block = h * w * lane(cin) * bpe * 3          # block + pad copy + dbuf
+    mid = (h * w // 1) * lane(fy) * (4 + bpe * 2)  # acc + bf16 + transpose
+    return (x_block + mid) < 8 * 1024 * 1024
+
+
+def convrelu2(x, features, kernel, *, name, pad_mode, stride=1,
+              dtype=jnp.float32, pallas=False):
     """Factored (ky,1)+(1,kx) conv pair, leaky-ReLU after each
     (reference helpers.py:105-153, v2/helpers.py:46-91).
 
     features: int or (int_y, int_x) — channels after the y and x convs.
+    pallas=True routes through the VMEM-fused pair kernel
+    (ops/pallas_conv.py) when the shape qualifies: channel dim >= 32
+    (lane-padding economics) and the working set fits VMEM. Parameter
+    tree is identical either way. Inference-only (no custom VJP).
     """
     fy, fx = _pair(features)
+    if pallas and x.shape[-1] >= 32 and stride in (1, 2) \
+            and _pallas_pair_fits(x, fy, fx, kernel, dtype):
+        from ..ops.pallas_conv import fused_convrelu2
+
+        wy, by = _ConvParams((kernel, 1, x.shape[-1], fy), name=name + "y")()
+        wx, bx = _ConvParams((1, kernel, fy, fx), name=name + "x")()
+        return fused_convrelu2(
+            x.astype(dtype), wy.astype(dtype), by.astype(dtype),
+            wx.astype(dtype), bx.astype(dtype),
+            k=kernel, stride=stride, pad_mode=pad_mode)
     if pad_mode == "caffe":
         p = kernel // 2
         pad_y = ((p, p), (0, 0))

@@ -149,3 +149,25 @@ def test_phase_upconv_matches_conv_transpose(rng):
     np.testing.assert_allclose(
         np.asarray(got[:, 1 : 1 + 2 * H, 1 : 1 + 2 * W, :]),
         np.asarray(ref_same), atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["v1", "v2"])
+def test_pallas_conv_path_matches_xla(rng, variant):
+    """FlowBlock with pallas=True (VMEM-fused factored-conv pairs) must
+    produce the same outputs and the same parameter tree as the XLA path.
+    On CPU the pallas kernel runs in interpreter mode — identical math."""
+    from demon_tpu.models.blocks import FlowBlock
+
+    x = jnp.asarray(rng.rand(1, 64, 96, 6).astype(np.float32) - 0.5)
+    ref_block = FlowBlock(variant=variant, pallas=False)
+    pal_block = FlowBlock(variant=variant, pallas=True)
+    params = jax.jit(ref_block.init)(jax.random.key(0), x)
+    params_p = jax.eval_shape(pal_block.init, jax.random.key(0), x)
+    assert jax.tree.map(lambda a: (a.shape, a.dtype), params) == \
+        jax.tree.map(lambda a: (a.shape, a.dtype), params_p)
+
+    ref = ref_block.apply(params, x)
+    got = pal_block.apply(params, x)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   atol=5e-4, rtol=1e-3, err_msg=k)
