@@ -68,3 +68,38 @@ def shard_pytree(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
 def replicate_pytree(tree: Any, mesh: Mesh) -> Any:
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def model_parallel_param_shardings(mesh: Mesh, params: Any,
+                                   axis: str = "model") -> Any:
+    """Pytree of NamedShardings: tensor parallelism for the parameter-
+    dominant layers.
+
+    DeMoN's parameter mass concentrates in the dense layers (v2 dense5 is
+    96*h/32*w/32 squared — ~21M params at 192x256 — and motion_fc1 another
+    ~6M; reference v2/blocks.py:198-215, blocks_original.py:388-394): their
+    [in, out] kernels shard column-wise over `axis` and the matching biases
+    shard to the same output partition, so each chip holds and trains a
+    slice; GSPMD inserts the activation all-gathers/reduce-scatters. Conv
+    kernels stay replicated (they're small; dp gradients already ride ICI).
+
+    Works for both the trainer's flat {net: tree} params and the engine's
+    {bootstrap/iterative/refinement: ...} trees. Returns shardings usable
+    with jax.device_put(params, shardings).
+    """
+    tp = mesh.shape[axis] if axis in mesh.axis_names else 1
+    big = ("dense5", "motion_fc1", "motion_fc2")
+
+    def _one(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if tp > 1 and any(b in names for b in big):
+            if names[-1] == "kernel" and leaf.ndim == 2 and \
+                    leaf.shape[1] % tp == 0:
+                return NamedSharding(mesh, P(None, axis))
+            if names[-1] == "bias" and leaf.shape[0] % tp == 0:
+                return NamedSharding(mesh, P(axis))
+        return NamedSharding(mesh, P())
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [_one(p, l) for p, l in flat])

@@ -133,6 +133,7 @@ class TrainingDriver:
             max_iter = min(max_iter, self.max_steps)
 
         params, opt_state, start_step = self._initial_params(evo)
+        params = self.trainer.shard_params(params)
         if opt_state is None:
             opt_state = self.trainer.init_opt_state(evo, params)
         step_fn = self.trainer.make_train_step(evo)

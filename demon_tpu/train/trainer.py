@@ -388,6 +388,23 @@ class EvolutionTrainer:
         return total + reg
 
     # ------------------------------------------------------------------
+    # parameter sharding (tensor parallelism over the 'model' axis)
+    # ------------------------------------------------------------------
+    def shard_params(self, params):
+        """Place params on the trainer's mesh: big dense kernels
+        (dense5/motion_fc*) column-sharded over 'model', everything else
+        replicated (engine/sharding.model_parallel_param_shardings).
+        Optimizer state initialized from these params inherits the layout
+        (optax mirrors the param pytree), and jitted steps keep it — no
+        per-step resharding. No-op without a mesh."""
+        if self.mesh is None:
+            return params
+        from ..engine.sharding import model_parallel_param_shardings
+
+        shardings = model_parallel_param_shardings(self.mesh, params)
+        return jax.tree.map(jax.device_put, params, shardings)
+
+    # ------------------------------------------------------------------
     # replay-carry sharding
     # ------------------------------------------------------------------
     def _constrain_replay(self, tree):

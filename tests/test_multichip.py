@@ -113,3 +113,56 @@ def test_spatially_sharded_refinement_matches_single_device():
 
     assert sharded.shape == single.shape == (2, H, W, 1)
     np.testing.assert_allclose(sharded, single, atol=2e-5, rtol=1e-5)
+
+
+def test_tensor_parallel_train_step_matches_single_device():
+    """Production tensor parallelism: EvolutionTrainer.shard_params places
+    dense5/motion_fc kernels column-wise over 'model'; a dp x tp train
+    step must compute the same update as the unsharded step AND keep the
+    tp layout on the updated params (no involuntary re-replication)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from demon_tpu.engine.sharding import make_mesh
+    from demon_tpu.train.trainer import EvolutionTrainer, TrainConfig
+
+    H = W = 64
+    B = 4
+    cfg = TrainConfig(height=H, width=W, batch_size=B, batch_size_iterative=B)
+    evo = "0_flow1"  # trains netFlow1 (v2: includes the dense5 bottleneck)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "IMAGE_PAIR": rng.rand(B, H, W, 6).astype(np.float32) - 0.5,
+        "MOTION": rng.randn(B, 6).astype(np.float32) * 0.1,
+        "DEPTH": rng.uniform(0.5, 2.0, (B, H, W, 1)).astype(np.float32),
+        "INTRINSICS": np.tile(np.array([[0.89, 1.19, 0.5, 0.5]], np.float32),
+                              (B, 1)),
+    }
+    step = jnp.zeros((), jnp.int32)
+
+    ref_tr = EvolutionTrainer(cfg)
+    params = ref_tr.init_params(jax.random.key(0))
+    ref_opt = ref_tr.init_opt_state(evo, params)
+    p1, _, m1, _ = ref_tr.make_train_step(evo)(
+        params, ref_opt, jax.tree.map(jnp.asarray, batch), step)
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    tp_tr = EvolutionTrainer(cfg, mesh=mesh)
+    params2 = tp_tr.shard_params(tp_tr.init_params(jax.random.key(0)))
+    k_sh = params2["netFlow1"]["dense5"]["kernel"].sharding
+    assert k_sh.spec == P(None, "model"), k_sh
+    opt2 = tp_tr.init_opt_state(evo, params2)
+    dsh = lambda x: jax.device_put(
+        x, NamedSharding(mesh, P(*(["data"] + [None] * (x.ndim - 1)))))
+    p2, _, m2, _ = tp_tr.make_train_step(evo)(
+        params2, opt2, {k: dsh(jnp.asarray(v)) for k, v in batch.items()},
+        step)
+
+    np.testing.assert_allclose(float(m2["total_loss"]),
+                               float(m1["total_loss"]), rtol=1e-4)
+    # updated dense5 kernel: same values, still tp-sharded
+    assert p2["netFlow1"]["dense5"]["kernel"].sharding.spec == \
+        P(None, "model")
+    np.testing.assert_allclose(
+        np.asarray(p2["netFlow1"]["dense5"]["kernel"]),
+        np.asarray(p1["netFlow1"]["dense5"]["kernel"]), atol=5e-5)
