@@ -177,7 +177,9 @@ def main():
     dtype = jnp.bfloat16 if os.environ.get(
         "BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
 
-    engine = DemonEngine(variant="v1", iterations=3, dtype=dtype)
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    engine = DemonEngine(variant="v1", iterations=3, dtype=dtype,
+                         use_pallas=use_pallas)
     # abstract-eval the init to get parameter shapes, then materialize
     # host-side — avoids compiling/running 4 init programs on the device
     # (for throughput the weight values are irrelevant)

@@ -82,6 +82,19 @@ def resize_nearest(x: jax.Array, height: int, width: int) -> jax.Array:
     upsampling of depth2 into the refinement net (blocks_original.py:475)
     and the host-side `_nearest_resize` in eval/harness.py."""
     B, H, W, C = x.shape
+    if height % H == 0 and width % W == 0:
+        # integer upscale (the refinement net's depth2 4x path): the
+        # floor-index pattern is exactly pixel replication, which lowers
+        # to a broadcast instead of a row-count-bound gather — TPU
+        # gathers cost ~1 row/cycle, and this one would be the largest
+        # in the pipeline (B*192*256 rows)
+        fy, fx = height // H, width // W
+        r = jnp.broadcast_to(x[:, :, None, :, None, :],
+                             (B, H, fy, W, fx, C))
+        return r.reshape(B, height, width, C)
+    if H % height == 0 and W % width == 0:
+        # integer downscale: floor(j*f) = j*f — a strided slice
+        return x[:, :: H // height, :: W // width]
     ys = (jnp.arange(height) * (H / height)).astype(jnp.int32)
     xs = (jnp.arange(width) * (W / width)).astype(jnp.int32)
     ys = jnp.clip(ys, 0, H - 1)
