@@ -2,9 +2,10 @@
 
 Production-serving layer over the fused pipeline: callers submit single
 image pairs from any thread and receive futures; a dispatcher thread
-coalesces pending requests into fixed-size batches (padding the tail) so
-the device always runs the one compiled program at its efficient batch
-size. The reference has no serving story at all — inference is 5 manual
+coalesces pending requests into batches padded to the next power-of-two
+bucket (capped at max_batch), so the device runs one of log2(max_batch)
+compiled programs and partial batches under low load don't pay the full
+max_batch compute. The reference has no serving story at all — inference is 5 manual
 session.run calls per pair (examples/example.py:87-99).
 
 Usage::
@@ -35,7 +36,10 @@ class _Request(NamedTuple):
 class DemonServer:
     """Dynamic micro-batching dispatcher for a DemonEngine.
 
-    max_batch: the compiled batch size (requests are padded up to it).
+    max_batch: the largest compiled batch size; pending requests are
+    coalesced up to it, then padded to the next power-of-two bucket
+    (1, 2, 4, ..., max_batch). Each bucket compiles once on first use
+    (call warmup() to pre-compile all buckets before serving traffic).
     max_wait_ms: how long the dispatcher waits to fill a batch before
     dispatching a partial one.
     """
@@ -98,11 +102,31 @@ class DemonServer:
                     if not req.future.done():
                         req.future.set_exception(e)
 
+    def _bucket(self, n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, self.max_batch)
+
+    def warmup(self):
+        """Pre-compile every bucket size (first compile of the fused
+        pipeline is slow; serving traffic should never pay it)."""
+        import jax.numpy as jnp
+
+        H, W = self.engine.HEIGHT, self.engine.WIDTH
+        b = 1
+        while b <= self.max_batch:
+            self.engine.predict(
+                self.params, jnp.zeros((b, H, W, 6), jnp.float32),
+                jnp.zeros((b, H // 4, W // 4, 3), jnp.float32),
+                jnp.broadcast_to(jnp.asarray(self._default_intr), (b, 4)))
+            b *= 2
+
     def _run_batch(self, batch):
         import jax.numpy as jnp
 
         n = len(batch)
-        pad = self.max_batch - n
+        pad = self._bucket(n) - n
         image_pair = np.stack([r.image_pair for r in batch])
         image2_2 = np.stack([r.image2_2 for r in batch])
         intr = np.stack([r.intrinsics if r.intrinsics is not None

@@ -73,3 +73,32 @@ def test_server_batch_consistency(tiny):
         depth, np.asarray(direct.depth_refined)[0, ..., 0], atol=2e-5)
     np.testing.assert_allclose(
         rot, np.asarray(direct.prediction.rotation)[0], atol=2e-5)
+
+
+def test_server_bucket_padding(tiny):
+    """Partial batches pad to the next power-of-two bucket, not max_batch:
+    a single request under low load must dispatch a batch-1 program."""
+    engine, params = tiny
+    seen = []
+    real_predict = engine.predict
+
+    def spy(params_, ip, i22, intr=None):
+        seen.append(ip.shape[0])
+        return real_predict(params_, ip, i22, intr)
+
+    engine.predict = spy
+    try:
+        server = DemonServer(engine, params, max_batch=8, max_wait_ms=1.0)
+        assert server._bucket(1) == 1
+        assert server._bucket(3) == 4
+        assert server._bucket(5) == 8
+        assert server._bucket(8) == 8
+        rng = np.random.RandomState(0)
+        ip = rng.rand(64, 64, 6).astype(np.float32) - 0.5
+        i22 = rng.rand(16, 16, 3).astype(np.float32) - 0.5
+        fut = server.submit(ip, i22)
+        fut.result(timeout=120)
+        server.close()
+    finally:
+        engine.predict = real_predict
+    assert seen and seen[0] == 1, seen
