@@ -39,8 +39,18 @@ def main():
     from demon_tpu.engine.inference import DemonEngine, prepare_input_pair
     from demon_tpu.vis import export_prediction_to_ply
 
-    img1 = np.asarray(Image.open(args.image1).convert("RGB"))
-    img2 = np.asarray(Image.open(args.image2).convert("RGB"))
+    if os.path.exists(args.image1) and os.path.exists(args.image2):
+        img1 = np.asarray(Image.open(args.image1).convert("RGB"))
+        img2 = np.asarray(Image.open(args.image2).convert("RGB"))
+    else:
+        # self-contained fallback: a geometrically consistent synthetic
+        # two-view scene (tools/synthetic.py) so the example runs without
+        # any external assets
+        print("sample images not found - generating a synthetic pair")
+        from demon_tpu.tools.synthetic import make_scene
+
+        v1, v2 = make_scene(np.random.RandomState(0))
+        img1, img2 = v1.image, v2.image
     inputs = prepare_input_pair(img1, img2)
 
     engine = DemonEngine(variant=args.variant, iterations=3)
