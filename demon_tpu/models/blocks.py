@@ -21,19 +21,42 @@ from .. import ops
 from .layers import convrelu, convrelu2, conv2d, upconv, dense, flatten_nchw
 
 
-def _predict_flow(x, *, pad_mode, dtype):
+def _head_conv_pair(x, c1, c2, *, pad_mode, dtype, pallas):
+    """conv3x3(c1)+lrelu -> conv3x3(c2) — the shared shape of both
+    prediction heads. pallas=True routes through the packed-tap MXU
+    kernel (ops/pallas_head.py) when the per-image block fits VMEM;
+    parameter tree identical to the two nn.Conv path either way."""
+    from .layers import _ConvParams
+
+    b, h, w, cin = x.shape
+    lane = lambda c: -(-c // 128) * 128
+    bpe = 2 if dtype == jnp.bfloat16 else 4
+    vmem = h * w * (lane(cin) * bpe * 3 + 9 * 32 * 4 * 2)
+    if pallas and c1 <= 32 and c2 <= 32 and vmem < 8 * 1024 * 1024:
+        from ..ops.pallas_head import fused_head
+
+        w1, b1 = _ConvParams((3, 3, cin, c1), name="conv1")()
+        w2, b2 = _ConvParams((3, 3, c1, c2), name="conv2")()
+        return fused_head(x.astype(dtype), w1.astype(dtype),
+                          b1.astype(dtype), w2.astype(dtype),
+                          b2.astype(dtype))
+    t = convrelu(x, c1, 3, name="conv1", pad_mode=pad_mode, dtype=dtype)
+    return conv2d(t, c2, 3, name="conv2", pad_mode=pad_mode, dtype=dtype)
+
+
+def _predict_flow(x, *, pad_mode, dtype, pallas=False):
     """flow+confidence head: 24-ch conv + 4-ch linear conv
     (reference blocks_original.py:23-51, v2/blocks.py:24-52)."""
-    t = convrelu(x, 24, 3, name="conv1", pad_mode=pad_mode, dtype=dtype)
-    return conv2d(t, 4, 3, name="conv2", pad_mode=pad_mode, dtype=dtype)
+    return _head_conv_pair(x, 24, 4, pad_mode=pad_mode, dtype=dtype,
+                           pallas=pallas)
 
 
-def _predict_depthnormal(x, *, scale, predict_normals, intermediate, pad_mode, dtype):
+def _predict_depthnormal(x, *, scale, predict_normals, intermediate, pad_mode,
+                         dtype, pallas=False):
     """depth(+normal) head; depth channel multiplied by the predicted scale
     (reference blocks_original.py:238-294)."""
-    t = convrelu(x, intermediate, 3, name="conv1", pad_mode=pad_mode, dtype=dtype)
-    out = conv2d(t, 4 if predict_normals else 1, 3, name="conv2",
-                 pad_mode=pad_mode, dtype=dtype)
+    out = _head_conv_pair(x, intermediate, 4 if predict_normals else 1,
+                          pad_mode=pad_mode, dtype=dtype, pallas=pallas)
     if predict_normals:
         depth, normal = out[..., :1], out[..., 1:]
     else:
@@ -46,10 +69,12 @@ def _predict_depthnormal(x, *, scale, predict_normals, intermediate, pad_mode, d
 class _PredictFlow(nn.Module):
     pad_mode: str
     dtype: jnp.dtype = jnp.float32
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
-        return _predict_flow(x, pad_mode=self.pad_mode, dtype=self.dtype)
+        return _predict_flow(x, pad_mode=self.pad_mode, dtype=self.dtype,
+                             pallas=self.pallas)
 
 
 class _PredictDepthNormal(nn.Module):
@@ -57,13 +82,14 @@ class _PredictDepthNormal(nn.Module):
     predict_normals: bool = True
     intermediate: int = 24
     dtype: jnp.dtype = jnp.float32
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, x, scale=None):
         return _predict_depthnormal(
             x, scale=scale, predict_normals=self.predict_normals,
             intermediate=self.intermediate, pad_mode=self.pad_mode,
-            dtype=self.dtype,
+            dtype=self.dtype, pallas=self.pallas,
         )
 
 
@@ -193,14 +219,16 @@ class FlowBlock(nn.Module):
 
         top = conv5_1 if v1 else _dense_bottleneck(conv5_1, dtype=self.dtype)
 
-        flowconf5 = _PredictFlow(pad, self.dtype, name="predict_flow5")(top)
+        flowconf5 = _PredictFlow(pad, self.dtype, self.pallas,
+                                 name="predict_flow5")(top)
         flowconf5to4 = _Upsample(2, self.dtype, name="upsample_flow5to4")(flowconf5)
         concat4 = _Refine(256, pad, self.dtype, name="refine4")(
             top, conv4_1, flowconf5to4
         )
         concat3 = _Refine(128, pad, self.dtype, name="refine3")(concat4, conv3_1)
         concat2 = _Refine(64, pad, self.dtype, name="refine2")(concat3, conv2_1)
-        flowconf2 = _PredictFlow(pad, self.dtype, name="predict_flow2")(concat2)
+        flowconf2 = _PredictFlow(pad, self.dtype, self.pallas,
+                                 name="predict_flow2")(concat2)
 
         return {
             "predict_flowconf5": flowconf5,
@@ -309,7 +337,7 @@ class DepthMotionBlock(nn.Module):
 
         depth2, normal2 = _PredictDepthNormal(
             pad, predict_normals=True, intermediate=24, dtype=self.dtype,
-            name="predict_depthnormal2",
+            pallas=self.pallas, name="predict_depthnormal2",
         )(concat2, scale)
 
         return {
@@ -352,7 +380,7 @@ class RefinementBlock(nn.Module):
 
         depth0, normal0 = _PredictDepthNormal(
             pad, predict_normals=not v1, intermediate=16, dtype=self.dtype,
-            name="predict_depth0",
+            pallas=self.pallas, name="predict_depth0",
         )(concat0, None)
         out = {"predict_depth0": depth0}
         if normal0 is not None:

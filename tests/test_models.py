@@ -171,3 +171,32 @@ def test_pallas_conv_path_matches_xla(rng, variant):
     for k in ref:
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
                                    atol=5e-4, rtol=1e-3, err_msg=k)
+
+
+def test_pallas_engine_matches_xla(rng):
+    """Full engine (bootstrap + iterative + refinement) with use_pallas=True
+    must match the XLA engine — covers the fused conv pairs AND the packed
+    prediction-head kernel in every block, both padding geometries."""
+    from demon_tpu.engine.inference import DemonEngine
+
+    H = W = 64
+    ip = jnp.asarray(rng.rand(1, H, W, 6).astype(np.float32) - 0.5)
+    i22 = jnp.asarray(rng.rand(1, H // 4, W // 4, 3).astype(np.float32) - 0.5)
+    intr = jnp.asarray([[0.89, 1.19, 0.5, 0.5]], np.float32)
+
+    ref_eng = DemonEngine(variant="v1", iterations=1)
+    pal_eng = DemonEngine(variant="v1", iterations=1, use_pallas=True)
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    boot = jax.jit(ref_eng.bootstrap.init)(k1, ip, i22)
+    prev = jax.jit(ref_eng.bootstrap.apply)(boot, ip, i22)
+    itp = jax.jit(ref_eng.iterative.init)(k2, ip, i22, intr, prev)
+    refp = jax.jit(ref_eng.refinement.init)(k3, ip[..., :3], prev.depth2)
+    params = {"bootstrap": boot, "iterative": itp, "refinement": refp}
+
+    a = jax.jit(ref_eng._predict)(params, ip, i22, intr)
+    b = jax.jit(pal_eng._predict)(params, ip, i22, intr)
+    np.testing.assert_allclose(np.asarray(b.depth_refined),
+                               np.asarray(a.depth_refined),
+                               atol=5e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(b.prediction.rotation),
+                               np.asarray(a.prediction.rotation), atol=1e-3)
