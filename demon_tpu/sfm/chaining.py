@@ -90,17 +90,40 @@ def propagate_scales(inv_depths: np.ndarray, rotations: np.ndarray,
     return scales
 
 
+def _sample_flow(flow: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """Bilinear-sample a normalized flow field [h, w, 2] at normalized
+    coords (u, v). Returns (flow_at_uv [N, 2], valid [N])."""
+    h, w = flow.shape[:2]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    inb = (x0 >= 0) & (x0 < w - 1) & (y0 >= 0) & (y0 < h - 1)
+    x0c = np.clip(x0, 0, w - 2)
+    y0c = np.clip(y0, 0, h - 2)
+    wx = (x - x0c)[:, None]
+    wy = (y - y0c)[:, None]
+    f = (flow[y0c, x0c] * (1 - wx) * (1 - wy)
+         + flow[y0c, x0c + 1] * wx * (1 - wy)
+         + flow[y0c + 1, x0c] * (1 - wx) * wy
+         + flow[y0c + 1, x0c + 1] * wx * wy)
+    return f, inb & np.isfinite(f).all(axis=-1)
+
+
 def build_ba_problem(preds: Dict, R: np.ndarray, t: np.ndarray,
                      scales: np.ndarray, intrinsics_norm: np.ndarray,
-                     points_per_frame: int = 64):
+                     points_per_frame: int = 64, track_length: int = 2):
     """Flow-anchored bundle-adjustment problem from pairwise predictions.
 
-    For a grid of valid pixels p of frame k the network provides two
-    measurements: p itself (frame k) and p + flow_k(p) (frame k+1). The
-    corresponding world point comes from frame k's depth at the chained
-    pose. Poses and points are then jointly refined against these
-    observations by sfm.ba.bundle_adjust (each point has exactly 2
-    observations; the cameras couple them).
+    For a grid of valid pixels p of frame k the network's flow chain
+    provides up to `track_length` measurements: p in frame k, p+flow_k(p)
+    in frame k+1, then flow_{k+1} bilinearly sampled at the chained
+    position for frame k+2, and so on while the track stays in-bounds and
+    finite (multi-frame observations — each world point can couple more
+    than two cameras, which is what makes BA stiffer than the pairwise
+    pose graph). The world point comes from frame k's depth at the
+    chained pose. Tracks shorter than `track_length` are weight-0 padded
+    (BAProblem's fixed-arity layout).
 
     Returns (points [M, 3] world, BAProblem) — numpy inputs, jit-ready.
     """
@@ -111,6 +134,7 @@ def build_ba_problem(preds: Dict, R: np.ndarray, t: np.ndarray,
     inv_depths = preds["inv_depth2"]
     flows = preds["flow2"] if "flow2" in preds else None
     p_cnt, h, w = inv_depths.shape
+    L = max(2, int(track_length))
 
     pts_world = []
     cam_idx = []
@@ -120,29 +144,54 @@ def build_ba_problem(preds: Dict, R: np.ndarray, t: np.ndarray,
     ys, xs = np.mgrid[stride // 2 : h : stride, stride // 2 : w : stride]
     ys = ys.ravel()
     xs = xs.ravel()
+    n_seed = len(ys)
     for k in range(p_cnt):
         inv_d = inv_depths[k][ys, xs] / scales[k]  # global-scale inverse
         u = (xs + 0.5) / w
         v = (ys + 0.5) / h
         ok = np.isfinite(inv_d) & (inv_d > 0)
+
+        obs_uv = np.zeros((n_seed, L, 2), np.float32)
+        obs_w = np.zeros((n_seed, L), np.float32)
+        obs_cam = np.zeros((n_seed, L), np.int64)
+        obs_uv[:, 0] = np.stack([u, v], -1)
+        obs_w[:, 0] = ok
+        obs_cam[:, 0] = k
         if flows is not None:
-            fl = flows[k][ys, xs]  # normalized flow
-            ok &= np.isfinite(fl).all(axis=-1)
-            u2 = u + np.nan_to_num(fl[:, 0])
-            v2 = v + np.nan_to_num(fl[:, 1])
+            uc, vc = u.copy(), v.copy()
+            alive = ok.copy()
+            for j in range(1, L):
+                fk = k + j - 1           # flow of pair fk: frame fk -> fk+1
+                if fk >= p_cnt:
+                    break
+                fl, fok = _sample_flow(flows[fk], uc, vc)
+                uc = uc + np.nan_to_num(fl[:, 0])
+                vc = vc + np.nan_to_num(fl[:, 1])
+                alive = alive & fok & (uc > 0) & (uc < 1) \
+                    & (vc > 0) & (vc < 1)
+                obs_uv[:, j] = np.stack([uc, vc], -1)
+                obs_w[:, j] = alive
+                obs_cam[:, j] = fk + 1
         else:
-            u2, v2 = u, v
+            # no flow: a same-position anchor in the next frame
+            obs_uv[:, 1] = obs_uv[:, 0]
+            obs_w[:, 1] = ok
+            obs_cam[:, 1] = min(k + 1, p_cnt)
+
+        # a point needs >=2 live observations to constrain anything; kill
+        # the whole track otherwise (a 1-obs point block is rank-deficient
+        # and only the LM damping would keep its inversion finite)
+        obs_w *= (obs_w.sum(-1, keepdims=True) >= 2).astype(np.float32)
+
         with np.errstate(divide="ignore"):
             z = 1.0 / np.where(ok, inv_d, 1.0)
         fx, fy, cx, cy = intrinsics_norm[:4]
         Xc = np.stack([(u - cx) / fx * z, (v - cy) / fy * z, z], -1)
         Xw = (Xc - t[k]) @ R[k]  # R_k^T (Xc - t_k)
         pts_world.append(Xw)
-        cam_idx.append(np.stack([np.full(len(u), k),
-                                 np.full(len(u), min(k + 1, p_cnt))], -1))
-        uvs.append(np.stack([np.stack([u, v], -1),
-                             np.stack([u2, v2], -1)], 1))
-        weights.append(np.repeat(ok[:, None].astype(np.float32), 2, axis=1))
+        cam_idx.append(obs_cam)
+        uvs.append(obs_uv)
+        weights.append(obs_w)
 
     points = np.concatenate(pts_world).astype(np.float32)
     problem = BAProblem(
@@ -158,7 +207,8 @@ def chain_sequence(engine, params, images: np.ndarray,
                    intrinsics: Optional[np.ndarray] = None,
                    pose_graph_iterations: int = 10,
                    run_ba: bool = False, ba_iterations: int = 4,
-                   ba_points_per_frame: int = 64
+                   ba_points_per_frame: int = 64,
+                   ba_track_length: int = 3
                    ) -> Dict[str, np.ndarray]:
     """images [N, H, W, 3] -> optimized trajectory.
 
@@ -215,7 +265,8 @@ def chain_sequence(engine, params, images: np.ndarray,
         points, problem = build_ba_problem(
             preds_for_ba, result["R"][:-1].astype(np.float32),
             result["t"][:-1].astype(np.float32), scales, intr,
-            points_per_frame=ba_points_per_frame)
+            points_per_frame=ba_points_per_frame,
+            track_length=ba_track_length)
         # dense Schur solve up to a few hundred cameras; matrix-free
         # block-Jacobi PCG beyond (the [6N,6N] factorization stops being
         # the right tool around N~500)

@@ -150,3 +150,58 @@ def test_ba_from_pairwise_predictions():
     assert float(costs[-1]) < float(costs[0]) * 1e-2, costs
     np.testing.assert_allclose(np.asarray(t_ba[1]), np.asarray(t0[1]),
                                atol=0.05)
+
+
+def test_ba_multiframe_tracks():
+    """track_length > 2: flow chaining produces points observed by 3+
+    cameras (bilinear flow composition), the cost at GT stays ~0, and the
+    extra couplings recover a perturbed middle pose that pairwise (L=2)
+    anchoring constrains more weakly."""
+    import jax
+    import jax.numpy as jnp
+
+    from demon_tpu.sfm.ba import bundle_adjust
+    from demon_tpu.sfm.chaining import build_ba_problem
+    from demon_tpu.sfm.lie import se3_exp
+
+    h, w = 24, 32
+    intr = np.array([0.9, 1.1, 0.5, 0.5])
+    plane_z = 4.0
+    positions = [0.0, 0.3, 0.6, 0.9]  # equal baselines -> all scales 1
+    n = len(positions)
+    R_gt = np.stack([np.eye(3)] * n)
+    t_gt = np.stack([[-p / 0.3, 0.0, 0.0] for p in positions])  # pair-0 scale
+
+    inv_depths, flows = [], []
+    for k in range(n - 1):
+        b = positions[k + 1] - positions[k]
+        depth_k = np.full((h, w), plane_z / b, np.float32)  # unit baseline
+        inv_depths.append(1.0 / depth_k)
+        du = intr[0] * (-1.0) / depth_k
+        flows.append(np.stack([du, np.zeros_like(du)], -1).astype(np.float32))
+    preds = {"inv_depth2": np.stack(inv_depths), "flow2": np.stack(flows)}
+    pair_scales = np.ones(n - 1)
+
+    points, problem = build_ba_problem(
+        preds, R_gt[:-1].astype(np.float32), t_gt[:-1].astype(np.float32),
+        pair_scales, intr, points_per_frame=48, track_length=3)
+
+    live = np.asarray((problem.weight > 0).sum(-1))
+    assert problem.weight.shape[1] == 3
+    assert (live >= 3).sum() > 0, "no multi-frame tracks built"
+
+    ba = jax.jit(lambda R, t, X: bundle_adjust(R, t, X, problem,
+                                               iterations=6))
+    R0 = jnp.asarray(R_gt, jnp.float32)
+    t0 = jnp.asarray(t_gt, jnp.float32)
+    _, _, _, costs_gt = ba(R0, t0, jnp.asarray(points))
+    assert float(costs_gt[0]) < 1e-5, costs_gt
+
+    rng = np.random.RandomState(1)
+    xi = np.zeros((n, 6), np.float32)
+    xi[2] = rng.randn(6) * 0.03  # perturb a middle camera
+    dR, dt = jax.vmap(se3_exp)(jnp.asarray(xi))
+    Rp = jnp.einsum("nij,njk->nik", dR, R0)
+    tp = jnp.einsum("nij,nj->ni", dR, t0) + dt
+    _, _, _, costs = ba(Rp, tp, jnp.asarray(points))
+    assert float(costs[-1]) < 0.05 * float(costs[0]), costs
