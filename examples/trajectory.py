@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--weights", default=None)
     ap.add_argument("--export-ply", default=None)
     ap.add_argument("--gt", default=None)
+    ap.add_argument("--ba-track-length", type=int, default=3,
+                    help="flow-chained BA track length (cameras per point)")
     ap.add_argument("--ba", action="store_true",
                     help="run bundle adjustment after the pose graph")
     args = ap.parse_args()
@@ -56,7 +58,8 @@ def main():
         print("WARNING: no --weights given, running with random init")
         params = engine.init(jax.random.key(0))
 
-    result = chain_sequence(engine, params, images, run_ba=args.ba)
+    result = chain_sequence(engine, params, images, run_ba=args.ba,
+                            ba_track_length=args.ba_track_length)
     C = camera_centers(result["R"], result["t"])
     print("trajectory length:",
           float(np.linalg.norm(np.diff(C, axis=0), axis=1).sum()))
