@@ -45,7 +45,8 @@ def bench_train():
 
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
-    cfg = TrainConfig(batch_size=batch)
+    compute_dtype = os.environ.get("BENCH_DTYPE", "float32")
+    cfg = TrainConfig(batch_size=batch, compute_dtype=compute_dtype)
     trainer = EvolutionTrainer(cfg)
     shapes = jax.eval_shape(trainer.init_params, jax.random.key(0))
     host_rng = np.random.RandomState(0)

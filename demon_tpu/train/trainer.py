@@ -59,6 +59,12 @@ class TrainConfig:
     variant: str = "v2"
     height: int = 192
     width: int = 256
+    # "bfloat16" runs the conv stacks in bf16 on the MXU while keeping
+    # fp32 master weights, fp32 losses/gradients/Adam state, and fp32
+    # geometry/GT tensors (predictions are cast back at the apply
+    # boundary). The reference has no mixed-precision story (TF1.4/CUDA8);
+    # on TPU this is the native fast path.
+    compute_dtype: str = "float32"
     max_iter: Dict[str, int] = dataclasses.field(default_factory=lambda: {
         "0_flow1": 1000 * _K, "1_dm1": 1000 * _K, "2_flow2": 250 * _K,
         "3_dm2": 250 * _K, "4_iterative": 1500 * _K, "5_refine": 250 * _K,
@@ -126,7 +132,9 @@ class EvolutionTrainer:
     def __init__(self, config: TrainConfig = TrainConfig(), mesh=None):
         self.config = config
         self.mesh = mesh
-        v, dt = config.variant, jnp.float32
+        v = config.variant
+        dt = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
+              else jnp.float32)
         self.flow_block = FlowBlock(variant=v, dtype=dt)
         self.dm_block = DepthMotionBlock(variant=v, dtype=dt)
         self.refine_block = RefinementBlock(variant=v, dtype=dt)
@@ -190,18 +198,24 @@ class EvolutionTrainer:
     # ------------------------------------------------------------------
     # forward helpers
     # ------------------------------------------------------------------
+    @staticmethod
+    def _f32(out):
+        """Losses, gradients and the replay carry stay fp32 regardless of
+        the blocks' compute dtype — cast once at the apply boundary."""
+        return jax.tree.map(lambda a: a.astype(jnp.float32), out)
+
     def _apply_flow(self, p, image_pair, image2_2=None, intr=None, prev=None):
-        return self.flow_block.apply(
+        return self._f32(self.flow_block.apply(
             {"params": p}, image_pair, image2_2=image2_2, intrinsics=intr,
             prev=prev,
-        )
+        ))
 
     def _apply_dm(self, p, image_pair, image2_2, flow2, flowconf2,
                   rotation=None, translation=None, intr=None):
-        return self.dm_block.apply(
+        return self._f32(self.dm_block.apply(
             {"params": p}, image_pair, image2_2, flow2, flowconf2,
             rotation, translation, intr,
-        )
+        ))
 
     # ------------------------------------------------------------------
     # the per-evolution loss
@@ -361,10 +375,10 @@ class EvolutionTrainer:
 
         # --- netRefine (evo 5) ---------------------------------------------
         if evo == "5_refine":
-            ref = self.refine_block.apply(
+            ref = self._f32(self.refine_block.apply(
                 {"params": params["netRefine"]},
                 batch["image1"], dm2["predict_depth2"],
-            )
+            ))
             depth_sig_w = ease_out_quad(stepf, 0.0,
                                         0.5 * cfg.depth_grad_loss_weight, max_iter)
             ld = L.depth_refine_loss_block(
