@@ -69,16 +69,40 @@ def bench_train():
     }
     step = jnp.zeros((), jnp.int32)
 
-    params, opt_state, metrics, _ = step_fn(params, opt_state, batch_data,
-                                            step, None)
-    float(metrics["total_loss"])  # compile fence
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, metrics, _ = step_fn(params, opt_state,
-                                                batch_data, step, None)
-    float(metrics["total_loss"])
-    dt = time.perf_counter() - t0
-    samples_per_s = batch * iters / dt
+    if os.environ.get("BENCH_SCAN", "0") == "1":
+        # Device-bound measurement: lax.scan over the steps removes the
+        # per-step host dispatch (2+ ms over the dev tunnel; ~0 on a
+        # production TPU host with prefetched device batches).
+        import jax as _jax
+
+        def many(params, opt_state, batch_data, n):
+            def body(carry, _):
+                p, o = carry
+                p, o, m, _ = step_fn(p, o, batch_data, step, None)
+                return (p, o), m["total_loss"]
+            (p, o), losses = _jax.lax.scan(body, (params, opt_state),
+                                           None, length=n)
+            return p, o, losses
+
+        many_j = _jax.jit(many, static_argnames="n")
+        p, o, losses = many_j(params, opt_state, batch_data, iters)
+        float(losses[-1])  # compile fence (same n as the timed call)
+        t0 = time.perf_counter()
+        p, o, losses = many_j(params, opt_state, batch_data, iters)
+        float(losses[-1])
+        dt = time.perf_counter() - t0
+        samples_per_s = batch * iters / dt
+    else:
+        params, opt_state, metrics, _ = step_fn(params, opt_state, batch_data,
+                                                step, None)
+        float(metrics["total_loss"])  # compile fence
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, opt_state, metrics, _ = step_fn(params, opt_state,
+                                                    batch_data, step, None)
+        float(metrics["total_loss"])
+        dt = time.perf_counter() - t0
+        samples_per_s = batch * iters / dt
     print(json.dumps({
         "metric": f"demon_train_{evo}_samples_per_s_per_chip",
         "value": round(samples_per_s, 2),
@@ -159,12 +183,85 @@ def bench_input():
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_serve():
+    """BENCH_MODE=serve: DemonServer latency under closed-loop load.
+
+    BENCH_CLIENTS concurrent clients each submit BENCH_REQS single-pair
+    requests back-to-back; reports p50/p95 end-to-end latency and
+    aggregate throughput. Env: BENCH_CLIENTS, BENCH_REQS, BENCH_MAXBATCH."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from demon_tpu.engine.inference import DemonEngine
+    from demon_tpu.engine.server import DemonServer
+
+    clients = int(os.environ.get("BENCH_CLIENTS", "32"))
+    reqs = int(os.environ.get("BENCH_REQS", "20"))
+    max_batch = int(os.environ.get("BENCH_MAXBATCH", "32"))
+
+    engine = DemonEngine(variant="v1", iterations=3, dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(engine.init, jax.random.key(0))
+    host_rng = np.random.RandomState(0)
+    params = jax.tree.map(
+        lambda s: jnp.asarray(
+            (host_rng.standard_normal(s.shape) * 0.05).astype(s.dtype)),
+        shapes)
+    params = engine.cast_params(params)
+
+    H, W = DemonEngine.HEIGHT, DemonEngine.WIDTH
+    rng = np.random.RandomState(0)
+    pair = (rng.rand(H, W, 6).astype(np.float32) - 0.5)
+    im22 = (rng.rand(H // 4, W // 4, 3).astype(np.float32) - 0.5)
+
+    latencies = []
+    lock = threading.Lock()
+
+    with DemonServer(engine, params, max_batch=max_batch,
+                     max_wait_ms=2.0) as server:
+        server.warmup()
+
+        def client():
+            local = []
+            for _ in range(reqs):
+                t0 = time.perf_counter()
+                server.submit(pair, im22).result()
+                local.append(time.perf_counter() - t0)
+            with lock:
+                latencies.extend(local)
+
+        threads = [threading.Thread(target=client) for _ in range(clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+
+    lat = np.sort(np.array(latencies)) * 1000.0
+    p50 = float(np.percentile(lat, 50))
+    p95 = float(np.percentile(lat, 95))
+    thpt = len(lat) / wall
+    print(json.dumps({
+        "metric": "demon_serve_p50_latency_ms",
+        "value": round(p50, 2),
+        "unit": "ms",
+        "vs_baseline": round(2000.0 / p50, 2),  # ref: ~2 s/pair (5 session.run)
+        "extra": {"p95_ms": round(p95, 2),
+                  "throughput_pairs_per_s": round(thpt, 1),
+                  "clients": clients, "max_batch": max_batch},
+    }))
+
+
 def main():
     _enable_compilation_cache()
     if os.environ.get("BENCH_MODE", "infer") == "train":
         return bench_train()
     if os.environ.get("BENCH_MODE") == "input":
         return bench_input()
+    if os.environ.get("BENCH_MODE") == "serve":
+        return bench_serve()
     import jax
     import jax.numpy as jnp
 

@@ -45,8 +45,10 @@ def classify(events, runs: int = 1) -> Tuple[float, Dict[str, float],
         if e.get("ph") != "X" or "TPU" not in pids.get(e.get("pid"), ""):
             continue
         n = e.get("name", "")
-        if n.startswith("jit_") or n.startswith("while"):
-            continue                       # container events, not kernels
+        if n.startswith("jit_") or n.startswith("while") or n.isdigit():
+            # container events (whole-program spans, scan bodies, numbered
+            # executable runs), not kernels — their children are counted
+            continue
         args = e.get("args", {})
         ln = args.get("long_name", "")
         hc = args.get("hlo_category", "")
