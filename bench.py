@@ -55,11 +55,18 @@ def bench_train():
             (host_rng.standard_normal(s.shape) * 0.05).astype(s.dtype)),
         shapes)
     evo = os.environ.get("BENCH_EVO", "0_flow1")
+    if evo >= "4_iterative":
+        batch = int(os.environ.get("BENCH_BATCH", str(cfg.batch_size_iterative)))
+        cfg = TrainConfig(batch_size=cfg.batch_size,
+                          batch_size_iterative=batch,
+                          compute_dtype=compute_dtype)
+        trainer = EvolutionTrainer(cfg)
     opt_state = trainer.init_opt_state(evo, params)
     step_fn = trainer.make_train_step(evo)
 
     rng = np.random.RandomState(0)
     H, W = cfg.height, cfg.width
+    batch = cfg.batch_for(evo)
     batch_data = {
         "IMAGE_PAIR": jnp.asarray(rng.rand(batch, H, W, 6).astype(np.float32) - 0.5),
         "MOTION": jnp.asarray(rng.randn(batch, 6).astype(np.float32) * 0.1),
@@ -68,6 +75,7 @@ def bench_train():
             np.tile(np.array([[0.89, 1.19, 0.5, 0.5]], np.float32), (batch, 1))),
     }
     step = jnp.zeros((), jnp.int32)
+    replay0 = trainer.init_replay(evo, params, batch_data)
 
     if os.environ.get("BENCH_SCAN", "0") == "1":
         # Device-bound measurement: lax.scan over the steps removes the
@@ -75,31 +83,33 @@ def bench_train():
         # production TPU host with prefetched device batches).
         import jax as _jax
 
-        def many(params, opt_state, batch_data, n):
+        def many(params, opt_state, batch_data, replay, n):
             def body(carry, _):
-                p, o = carry
-                p, o, m, _ = step_fn(p, o, batch_data, step, None)
-                return (p, o), m["total_loss"]
-            (p, o), losses = _jax.lax.scan(body, (params, opt_state),
-                                           None, length=n)
+                p, o, r = carry
+                p, o, m, r = step_fn(p, o, batch_data, step, r)
+                return (p, o, r), m["total_loss"]
+            (p, o, r), losses = _jax.lax.scan(
+                body, (params, opt_state, replay), None, length=n)
             return p, o, losses
 
         many_j = _jax.jit(many, static_argnames="n")
-        p, o, losses = many_j(params, opt_state, batch_data, iters)
+        p, o, losses = many_j(params, opt_state, batch_data, replay0, iters)
         float(losses[-1])  # compile fence (same n as the timed call)
         t0 = time.perf_counter()
-        p, o, losses = many_j(params, opt_state, batch_data, iters)
+        p, o, losses = many_j(params, opt_state, batch_data, replay0, iters)
         float(losses[-1])
         dt = time.perf_counter() - t0
         samples_per_s = batch * iters / dt
     else:
-        params, opt_state, metrics, _ = step_fn(params, opt_state, batch_data,
-                                                step, None)
+        replay = replay0
+        params, opt_state, metrics, replay = step_fn(
+            params, opt_state, batch_data, step, replay)
         float(metrics["total_loss"])  # compile fence
+        replay = replay0
         t0 = time.perf_counter()
         for _ in range(iters):
-            params, opt_state, metrics, _ = step_fn(params, opt_state,
-                                                    batch_data, step, None)
+            params, opt_state, metrics, replay = step_fn(
+                params, opt_state, batch_data, step, replay)
         float(metrics["total_loss"])
         dt = time.perf_counter() - t0
         samples_per_s = batch * iters / dt

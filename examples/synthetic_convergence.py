@@ -140,6 +140,10 @@ def main():
                     help="per-evolution step caps (6 comma-separated)")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--batch-iterative", type=int, default=8)
+    ap.add_argument("--compute-dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="bfloat16 = mixed-precision training (bf16 conv "
+                         "stacks, fp32 master weights/losses)")
     ap.add_argument("--eval-every-evo", action="store_true", default=True)
     args = ap.parse_args()
 
@@ -166,7 +170,8 @@ def main():
     print("datasets ready", flush=True)
 
     cfg = TrainConfig(batch_size=args.batch,
-                      batch_size_iterative=args.batch_iterative)
+                      batch_size_iterative=args.batch_iterative,
+                      compute_dtype=args.compute_dtype)
     engine = DemonEngine(variant=cfg.variant, iterations=3)
     driver = TrainingDriver(
         train_dir=os.path.join(args.out, "training"),
