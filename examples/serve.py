@@ -12,6 +12,8 @@ Usage:
     python examples/serve.py                       # synthetic load test
     python examples/serve.py --checkpoint DIR      # converted weights
     python examples/serve.py --clients 8 --requests 64 --max-batch 32
+    python examples/serve.py --listen 7100         # network daemon (TCP RPC)
+    python examples/serve.py --connect host:7100   # drive a remote daemon
 """
 
 from __future__ import annotations
@@ -41,7 +43,16 @@ def main():
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--listen", type=int, default=None, metavar="PORT",
+                    help="serve over TCP (demon_tpu.engine.rpc protocol) "
+                         "instead of running the in-process load test")
+    ap.add_argument("--connect", default=None, metavar="HOST:PORT",
+                    help="run the load test against a remote --listen "
+                         "daemon (no local device needed)")
     args = ap.parse_args()
+
+    if args.connect:
+        return run_remote_load(args)
 
     import jax
     import jax.numpy as jnp
@@ -95,6 +106,19 @@ def main():
         warm.result(timeout=1200)
         print("warm; starting load")
 
+        if args.listen is not None:
+            from demon_tpu.engine.rpc import DemonRpcServer
+
+            server.warmup()  # every bucket compiled before traffic
+            with DemonRpcServer(server, port=args.listen) as rpc:
+                print(f"serving on tcp port {rpc.address[1]} "
+                      f"(ctrl-c to stop)")
+                try:
+                    rpc.serve_forever()
+                except KeyboardInterrupt:
+                    pass
+            return
+
         t0 = time.perf_counter()
         threads = [threading.Thread(target=client, args=(i, server))
                    for i in range(args.clients)]
@@ -107,6 +131,46 @@ def main():
     lat = np.sort(np.array(latencies))
     n = len(lat)
     print(f"\n{n} requests, {args.clients} clients, wall {wall:.2f}s "
+          f"-> {n / wall:.1f} pairs/s")
+    print(f"latency p50 {1e3 * lat[n // 2]:.1f} ms   "
+          f"p90 {1e3 * lat[int(0.9 * n)]:.1f} ms   "
+          f"p99 {1e3 * lat[min(n - 1, int(0.99 * n))]:.1f} ms")
+
+
+def run_remote_load(args):
+    """Closed-loop load test against a --listen daemon over TCP."""
+    from demon_tpu.engine.inference import DemonEngine
+    from demon_tpu.engine.rpc import DemonRpcClient
+
+    host, _, port = args.connect.rpartition(":")
+    H, W = DemonEngine.HEIGHT, DemonEngine.WIDTH
+    latencies = []
+    lat_lock = threading.Lock()
+
+    def client(cid: int):
+        crng = np.random.RandomState(cid)
+        with DemonRpcClient(host or "127.0.0.1", int(port)) as c:
+            for _ in range(args.requests):
+                pair = crng.rand(H, W, 6).astype(np.float32) - 0.5
+                i22 = crng.rand(H // 4, W // 4, 3).astype(np.float32) - 0.5
+                t0 = time.perf_counter()
+                out = c.predict(pair, i22)
+                dt = time.perf_counter() - t0
+                assert out["depth"].shape == (H, W)
+                with lat_lock:
+                    latencies.append(dt)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(args.clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    lat = np.sort(np.array(latencies))
+    n = len(lat)
+    print(f"{n} requests over TCP, {args.clients} clients, wall {wall:.2f}s "
           f"-> {n / wall:.1f} pairs/s")
     print(f"latency p50 {1e3 * lat[n // 2]:.1f} ms   "
           f"p90 {1e3 * lat[int(0.9 * n)]:.1f} ms   "
