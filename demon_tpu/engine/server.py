@@ -42,15 +42,35 @@ class DemonServer:
     (call warmup() to pre-compile all buckets before serving traffic).
     max_wait_ms: how long the dispatcher waits to fill a batch before
     dispatching a partial one.
+
+    mesh: optional jax.sharding.Mesh with a 'data' axis for multi-chip
+    data-parallel serving — params are replicated across the mesh once
+    at construction and every dispatched batch is sharded over 'data',
+    so one server saturates a whole slice (the TPU-native scale-out of
+    the reference's single-GPU session). Buckets start at the data-axis
+    size (each chip needs >=1 row) and max_batch must be a multiple of
+    it.
     """
 
     def __init__(self, engine, params, max_batch: int = 16,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, mesh=None):
         import jax.numpy as jnp
 
         from ..models import DEMON_INTRINSICS
 
         self.engine = engine
+        self.mesh = mesh
+        self._min_bucket = 1
+        if mesh is not None:
+            from .sharding import replicate_pytree
+
+            dp = int(mesh.shape["data"])
+            if max_batch % dp or max_batch < dp:
+                raise ValueError(
+                    f"max_batch {max_batch} must be a positive multiple of "
+                    f"the mesh 'data' axis ({dp})")
+            self._min_bucket = dp
+            params = replicate_pytree(params, mesh)
         self.params = params
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
@@ -103,28 +123,40 @@ class DemonServer:
                         req.future.set_exception(e)
 
     def _bucket(self, n: int) -> int:
-        b = 1
+        b = self._min_bucket
         while b < n:
             b *= 2
         return min(b, self.max_batch)
 
+    def _to_device(self, arr):
+        """Host batch -> device array; sharded over the mesh 'data' axis
+        when serving multi-chip."""
+        import jax
+        import jax.numpy as jnp
+
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from .sharding import data_parallel_sharding
+
+        return jax.device_put(
+            arr, data_parallel_sharding(self.mesh, arr.ndim))
+
     def warmup(self):
         """Pre-compile every bucket size (first compile of the fused
         pipeline is slow; serving traffic should never pay it)."""
-        import jax.numpy as jnp
+        import numpy as np
 
         H, W = self.engine.HEIGHT, self.engine.WIDTH
-        b = 1
+        b = self._min_bucket
         while b <= self.max_batch:
             self.engine.predict(
-                self.params, jnp.zeros((b, H, W, 6), jnp.float32),
-                jnp.zeros((b, H // 4, W // 4, 3), jnp.float32),
-                jnp.broadcast_to(jnp.asarray(self._default_intr), (b, 4)))
+                self.params,
+                self._to_device(np.zeros((b, H, W, 6), np.float32)),
+                self._to_device(np.zeros((b, H // 4, W // 4, 3), np.float32)),
+                self._to_device(np.broadcast_to(self._default_intr, (b, 4))))
             b *= 2
 
     def _run_batch(self, batch):
-        import jax.numpy as jnp
-
         n = len(batch)
         pad = self._bucket(n) - n
         image_pair = np.stack([r.image_pair for r in batch])
@@ -138,8 +170,9 @@ class DemonServer:
                 [image2_2, np.repeat(image2_2[-1:], pad, 0)])
             intr = np.concatenate([intr, np.repeat(intr[-1:], pad, 0)])
 
-        out = self.engine.predict(self.params, jnp.asarray(image_pair),
-                                  jnp.asarray(image2_2), jnp.asarray(intr))
+        out = self.engine.predict(self.params, self._to_device(image_pair),
+                                  self._to_device(image2_2),
+                                  self._to_device(intr))
         depth = np.asarray(out.depth_refined, np.float32)[..., 0]
         rot = np.asarray(out.prediction.rotation, np.float32)
         trans = np.asarray(out.prediction.translation, np.float32)

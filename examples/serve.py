@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--data-parallel", type=int, default=None, metavar="N",
+                    help="serve over the first N local devices (batches "
+                         "shard across them; params replicate). Default: "
+                         "single device.")
     ap.add_argument("--listen", type=int, default=None, metavar="PORT",
                     help="serve over TCP (demon_tpu.engine.rpc protocol) "
                          "instead of running the in-process load test")
@@ -97,8 +101,16 @@ def main():
             with lat_lock:
                 latencies.append(dt)
 
+    mesh = None
+    if args.data_parallel:
+        from demon_tpu.engine.sharding import make_mesh
+
+        mesh = make_mesh((args.data_parallel,), ("data",),
+                         devices=jax.devices()[: args.data_parallel])
+        print(f"data-parallel serving over {args.data_parallel} devices")
+
     with DemonServer(engine, params, max_batch=args.max_batch,
-                     max_wait_ms=args.max_wait_ms) as server:
+                     max_wait_ms=args.max_wait_ms, mesh=mesh) as server:
         # warm-up request compiles the batch program once
         print("warming up (first compile)...")
         warm = server.submit(rng.rand(H, W, 6).astype(np.float32) - 0.5,

@@ -86,6 +86,63 @@ def test_data_parallel_inference_mesh():
     assert r_diff.mean() < 0.05, r_diff.mean()
 
 
+def test_data_parallel_server_mesh():
+    """DemonServer with a mesh: params replicate, each dispatched batch
+    shards over 'data', buckets start at the data-axis size, and results
+    match a direct single-device engine call."""
+    from demon_tpu.engine.inference import DemonEngine
+    from demon_tpu.engine.server import DemonServer
+    from demon_tpu.engine.sharding import make_mesh
+
+    H, W = 64, 64
+    engine = DemonEngine(variant="v1", iterations=1)
+    ip0 = jnp.zeros((1, H, W, 6))
+    i220 = jnp.zeros((1, H // 4, W // 4, 3))
+    from demon_tpu.models import DEMON_INTRINSICS
+    intr0 = jnp.broadcast_to(jnp.asarray(DEMON_INTRINSICS), (1, 4))
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    boot = jax.jit(engine.bootstrap.init)(k1, ip0, i220)
+    prev = jax.jit(engine.bootstrap.apply)(boot, ip0, i220)
+    itp = jax.jit(engine.iterative.init)(k2, ip0, i220, intr0, prev)
+    ref = jax.jit(engine.refinement.init)(k3, ip0[..., :3], prev.depth2)
+    params = {"bootstrap": boot, "iterative": itp, "refinement": ref}
+
+    mesh = make_mesh((4,), ("data",), devices=jax.devices()[:4])
+    with pytest.raises(ValueError):
+        DemonServer(engine, params, max_batch=2, mesh=mesh)  # < dp
+
+    rng = np.random.RandomState(0)
+    pairs = [rng.rand(H, W, 6).astype(np.float32) - 0.5 for _ in range(8)]
+    i22s = [rng.rand(H // 4, W // 4, 3).astype(np.float32) - 0.5
+            for _ in range(8)]
+    # long max_wait so all 8 requests deterministically coalesce into ONE
+    # batch-8 dispatch — the direct call below then runs the exact same
+    # compiled program on the same sharded inputs, so results must match
+    # bitwise (sharded-vs-single numerical equivalence is covered by
+    # test_data_parallel_inference_mesh with its documented tolerance).
+    with DemonServer(engine, params, max_batch=8, max_wait_ms=500.0,
+                     mesh=mesh) as server:
+        assert server._bucket(1) == 4    # min bucket = data-axis size
+        assert server._bucket(5) == 8
+        futs = [server.submit(p, i) for p, i in zip(pairs, i22s)]
+        results = [f.result(timeout=300) for f in futs]
+
+    from demon_tpu.engine.sharding import (data_parallel_sharding,
+                                           replicate_pytree)
+
+    direct = engine.predict(
+        replicate_pytree(params, mesh),
+        jax.device_put(np.stack(pairs), data_parallel_sharding(mesh, 4)),
+        jax.device_put(np.stack(i22s), data_parallel_sharding(mesh, 4)))
+    for i, (depth, rot, trans) in enumerate(results):
+        np.testing.assert_allclose(
+            depth, np.asarray(direct.depth_refined, np.float32)[i, ..., 0],
+            atol=1e-6)
+        np.testing.assert_allclose(
+            rot, np.asarray(direct.prediction.rotation, np.float32)[i],
+            atol=1e-6)
+
+
 def test_spatially_sharded_refinement_matches_single_device():
     """The 'space' axis for real: refinement at 384x512 with the image
     height sharded sp=2 (GSPMD halo exchanges at the seams) must match
