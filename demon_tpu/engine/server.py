@@ -75,6 +75,8 @@ class DemonServer:
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self._default_intr = np.asarray(DEMON_INTRINSICS, np.float32)
+        self._shapes = None  # (image_pair.shape, image2_2.shape) once seen
+        self._shape_lock = threading.Lock()
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._closed = threading.Event()
         self._thread = threading.Thread(target=self._dispatch_loop,
@@ -87,13 +89,36 @@ class DemonServer:
                intrinsics: Optional[np.ndarray] = None) -> Future:
         """Enqueue one pair ([H, W, 6], [h, w, 3] in [-0.5, 0.5]); the
         future resolves to (inverse_depth [H, W], rotation [3],
-        translation [3])."""
+        translation [3]).
+
+        Shapes are validated HERE (against the first accepted request) so
+        a malformed submission fails only its own caller — never the
+        well-formed requests it would otherwise be co-batched with."""
         if self._closed.is_set():
             raise RuntimeError("server closed")
+        image_pair = np.asarray(image_pair, np.float32)
+        image2_2 = np.asarray(image2_2, np.float32)
+        if image_pair.ndim != 3 or image_pair.shape[-1] != 6:
+            raise ValueError(f"image_pair must be [H, W, 6], "
+                             f"got {image_pair.shape}")
+        if image2_2.ndim != 3 or image2_2.shape[-1] != 3:
+            raise ValueError(f"image2_2 must be [h, w, 3], "
+                             f"got {image2_2.shape}")
+        if intrinsics is not None:
+            intrinsics = np.asarray(intrinsics, np.float32)
+            if intrinsics.shape != (4,):
+                raise ValueError(f"intrinsics must be [4], "
+                                 f"got {intrinsics.shape}")
+        with self._shape_lock:
+            if self._shapes is None:
+                self._shapes = (image_pair.shape, image2_2.shape)
+            elif self._shapes != (image_pair.shape, image2_2.shape):
+                raise ValueError(
+                    f"shape mismatch with this server's batch shapes: "
+                    f"got {(image_pair.shape, image2_2.shape)}, serving "
+                    f"{self._shapes}")
         fut: Future = Future()
-        self._queue.put(_Request(np.asarray(image_pair, np.float32),
-                                 np.asarray(image2_2, np.float32),
-                                 intrinsics, fut))
+        self._queue.put(_Request(image_pair, image2_2, intrinsics, fut))
         return fut
 
     # ------------------------------------------------------------------

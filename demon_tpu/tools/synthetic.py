@@ -129,9 +129,17 @@ def make_scene(rng: np.random.RandomState, height: int = 192,
 
 def write_dataset(path: str, n_scenes: int, seed: int = 0,
                   height: int = 192, width: int = 256,
-                  verbose: bool = False) -> str:
+                  verbose: bool = False,
+                  max_rotation: float = 0.08,
+                  baseline_range: Tuple[float, float] = (0.05, 0.25)) -> str:
     """Write an h5 source of `n_scenes` synthetic scenes (pair (v0, v1)
-    each). Idempotent: returns immediately if the file exists."""
+    each). Idempotent: returns immediately if the file exists.
+
+    baseline_range controls the translation-direction conditioning: after
+    the reader's ||t||=1 normalization the baseline/depth ratio is the
+    parallax per unit translation, so larger baselines make translation
+    direction better observable (the classic two-view degeneracy as
+    baseline -> 0)."""
     import h5py
 
     from ..data.view_io import write_view
@@ -142,7 +150,9 @@ def write_dataset(path: str, n_scenes: int, seed: int = 0,
     tmp = path + ".tmp"
     with h5py.File(tmp, "w") as f:
         for s in range(n_scenes):
-            v1, v2 = make_scene(rng, height, width)
+            v1, v2 = make_scene(rng, height, width,
+                                max_rotation=max_rotation,
+                                baseline_range=baseline_range)
             g = f"scene{s:05d}/frames/t0"
             write_view(f.require_group(f"{g}/v0"), v1)
             write_view(f.require_group(f"{g}/v1"), v2)

@@ -144,6 +144,11 @@ def main():
                     choices=("float32", "bfloat16"),
                     help="bfloat16 = mixed-precision training (bf16 conv "
                          "stacks, fp32 master weights/losses)")
+    ap.add_argument("--baseline", default="0.05,0.25",
+                    help="scene baseline range min,max — larger baselines "
+                         "condition translation direction better "
+                         "(tools/synthetic.py)")
+    ap.add_argument("--max-rotation", type=float, default=0.08)
     ap.add_argument("--eval-every-evo", action="store_true", default=True)
     args = ap.parse_args()
 
@@ -161,10 +166,15 @@ def main():
     assert len(steps) == len(EVOLUTIONS)
 
     print("generating datasets...", flush=True)
+    baseline = tuple(float(b) for b in args.baseline.split(","))
     train_h5 = write_dataset(os.path.join(args.out, "synthetic_train.h5"),
-                             args.train_scenes, seed=0, verbose=True)
+                             args.train_scenes, seed=0, verbose=True,
+                             max_rotation=args.max_rotation,
+                             baseline_range=baseline)
     test_h5 = write_dataset(os.path.join(args.out, "synthetic_test.h5"),
-                            args.test_scenes, seed=777)
+                            args.test_scenes, seed=777,
+                            max_rotation=args.max_rotation,
+                            baseline_range=baseline)
     cache_dir = os.path.join(args.out, "cache")
     build_scene_cache(train_h5, cache_dir, 192, 256, verbose=False)
     print("datasets ready", flush=True)

@@ -102,3 +102,26 @@ def test_server_bucket_padding(tiny):
     finally:
         engine.predict = real_predict
     assert seen and seen[0] == 1, seen
+
+
+def test_server_submit_validation(tiny):
+    """Malformed submissions fail their own caller at submit time and
+    never poison co-batched well-formed requests."""
+    engine, params = tiny
+    rng = np.random.RandomState(2)
+    H, W = 64, 64
+    good_ip = rng.rand(H, W, 6).astype(np.float32) - 0.5
+    good_i22 = rng.rand(H // 4, W // 4, 3).astype(np.float32) - 0.5
+    with DemonServer(engine, params, max_batch=4, max_wait_ms=30) as server:
+        with pytest.raises(ValueError):          # wrong channel count
+            server.submit(good_ip[..., :3], good_i22)
+        with pytest.raises(ValueError):          # wrong rank
+            server.submit(good_ip[None], good_i22)
+        with pytest.raises(ValueError):          # bad intrinsics
+            server.submit(good_ip, good_i22, intrinsics=np.zeros(3))
+        fut_ok = server.submit(good_ip, good_i22)
+        with pytest.raises(ValueError):          # resolution mismatch
+            server.submit(np.zeros((32, 32, 6), np.float32),
+                          np.zeros((8, 8, 3), np.float32))
+        depth, rot, trans = fut_ok.result(timeout=300)
+        assert depth.shape == (H, W) and np.isfinite(depth).all()
