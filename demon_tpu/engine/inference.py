@@ -190,8 +190,15 @@ class DemonEngine:
                 image1, spatial_sharding(mesh, jnp.ndim(image1)))
             depth2 = jax.device_put(
                 depth2, spatial_sharding(mesh, jnp.ndim(depth2)))
-            params = {"refinement":
-                      replicate_pytree(params["refinement"], mesh)}
+            # replicating the parameter tree moves tens of MB host->mesh;
+            # cache it so a per-frame refinement loop pays it once
+            key = (id(params["refinement"]), mesh)
+            cached = getattr(self, "_refine_replicated", None)
+            if cached is None or cached[0] != key:
+                cached = (key,
+                          replicate_pytree(params["refinement"], mesh))
+                self._refine_replicated = cached
+            params = {"refinement": cached[1]}
         return self._jit_refine(params["refinement"], image1, depth2)
 
 

@@ -148,6 +148,7 @@ class DemonRpcServer:
         self._tcp = _Server((host, port), _Handler)
         self._tcp.demon_backend = backend  # type: ignore[attr-defined]
         self._thread: Optional[threading.Thread] = None
+        self._serving = False
 
     @property
     def address(self):
@@ -155,16 +156,22 @@ class DemonRpcServer:
         return self._tcp.server_address
 
     def serve_forever(self):
+        self._serving = True
         self._tcp.serve_forever()
 
     def start(self):
         """Serve on a background thread (returns immediately)."""
+        self._serving = True
         self._thread = threading.Thread(target=self._tcp.serve_forever,
                                         daemon=True, name="demon-rpc")
         self._thread.start()
 
     def close(self):
-        self._tcp.shutdown()
+        # shutdown() blocks on an event only serve_forever() sets — calling
+        # it without an active serve loop deadlocks (e.g. an exception in a
+        # `with` body before serve_forever/start ran)
+        if self._serving:
+            self._tcp.shutdown()
         self._tcp.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)

@@ -76,6 +76,7 @@ class DemonServer:
         self.max_wait = max_wait_ms / 1000.0
         self._default_intr = np.asarray(DEMON_INTRINSICS, np.float32)
         self._shapes = None  # (image_pair.shape, image2_2.shape) once seen
+        self._shapes_confirmed = False
         self._shape_lock = threading.Lock()
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._closed = threading.Event()
@@ -111,6 +112,9 @@ class DemonServer:
                                  f"got {intrinsics.shape}")
         with self._shape_lock:
             if self._shapes is None:
+                # tentative pin — confirmed by the first SUCCESSFUL batch
+                # (_run_batch), rolled back if that batch fails, so a bad
+                # first request can't wedge the server for everyone else
                 self._shapes = (image_pair.shape, image2_2.shape)
             elif self._shapes != (image_pair.shape, image2_2.shape):
                 raise ValueError(
@@ -142,7 +146,15 @@ class DemonServer:
                     break
             try:
                 self._run_batch(batch)
+                with self._shape_lock:
+                    self._shapes_confirmed = True
             except BaseException as e:  # surface to callers
+                with self._shape_lock:
+                    if not self._shapes_confirmed:
+                        # the pinning batch itself failed (e.g. resolution
+                        # the engine can't run) — unpin so well-formed
+                        # requests aren't rejected against a bad pin
+                        self._shapes = None
                 for req in batch:
                     if not req.future.done():
                         req.future.set_exception(e)
@@ -173,13 +185,17 @@ class DemonServer:
 
         H, W = self.engine.HEIGHT, self.engine.WIDTH
         b = self._min_bucket
-        while b <= self.max_batch:
+        while True:
             self.engine.predict(
                 self.params,
                 self._to_device(np.zeros((b, H, W, 6), np.float32)),
                 self._to_device(np.zeros((b, H // 4, W // 4, 3), np.float32)),
                 self._to_device(np.broadcast_to(self._default_intr, (b, 4))))
-            b *= 2
+            if b >= self.max_batch:
+                break
+            # max_batch itself is a dispatchable bucket even when it is
+            # not min_bucket * 2^k (_bucket caps at it) — compile it too
+            b = min(b * 2, self.max_batch)
 
     def _run_batch(self, batch):
         n = len(batch)

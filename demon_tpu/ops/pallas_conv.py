@@ -61,7 +61,7 @@ def _pads(size: int, k: int, stride: int, pad_mode: str):
     return out, before, padded
 
 
-def _shift_matmul(xp, w, out_len, stride, k, acc_shape):
+def _shift_matmul(xp, w, out_len, stride, k):
     """sum_t xp[t + stride*i] @ w[t] over leading-dim windows.
 
     xp: [padded, N, cin]; w: [k, cin, cout]; returns [out_len, N, cout]
@@ -94,7 +94,7 @@ def _kernel(x_ref, wy_ref, by_ref, wx_ref, bx_ref, out_ref, *,
     xp = jnp.concatenate([
         jnp.zeros((pt, W, cin), dt), x,
         jnp.zeros((ph - H - pt, W, cin), dt)], axis=0)
-    mid = _shift_matmul(xp, wy_ref[...], h_out, stride, k, None)
+    mid = _shift_matmul(xp, wy_ref[...], h_out, stride, k)
     mid = _lrelu(mid + by_ref[...].astype(jnp.float32)).astype(dt)
 
     # (1,k) conv, stride (1,s): transpose so W is the leading dim and the
@@ -103,7 +103,7 @@ def _kernel(x_ref, wy_ref, by_ref, wx_ref, bx_ref, out_ref, *,
     midTp = jnp.concatenate([
         jnp.zeros((pl_, h_out, cmid), dt), midT,
         jnp.zeros((pw - W - pl_, h_out, cmid), dt)], axis=0)
-    outT = _shift_matmul(midTp, wx_ref[...], w_out, stride, k, None)
+    outT = _shift_matmul(midTp, wx_ref[...], w_out, stride, k)
     out = _lrelu(outT + bx_ref[...].astype(jnp.float32)).transpose(1, 0, 2)
     out_ref[0] = out.astype(out_ref.dtype)
 

@@ -260,10 +260,8 @@ def chain_sequence(engine, params, images: np.ndarray,
         # the predicted flow of pair k anchors each sampled depth point in
         # frames k and k+1; joint pose+point refinement over those
         # measurements
-        preds_for_ba = dict(preds)
-        preds_for_ba.setdefault("flow2", preds.get("flow2"))
         points, problem = build_ba_problem(
-            preds_for_ba, result["R"][:-1].astype(np.float32),
+            preds, result["R"][:-1].astype(np.float32),
             result["t"][:-1].astype(np.float32), scales, intr,
             points_per_frame=ba_points_per_frame,
             track_length=ba_track_length)

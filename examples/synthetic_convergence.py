@@ -131,6 +131,48 @@ def evaluate_params(engine, trainer_params, test_h5, batch_size=16):
     return {k: float(np.nanmean([r[k] for r in rows])) for k in rows[0]}
 
 
+def _train_chunked(args, evo: str, cap: int) -> None:
+    """Run `cap` steps of `evo` in child processes of at most
+    --steps-per-process steps each (each resumes from the latest
+    snapshot), so the per-transfer host-memory leak of the tunneled dev
+    platform stays bounded per process."""
+    import subprocess
+
+    done = 0
+    while done < cap:
+        target = min(cap, done + args.steps_per_process)
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--out", args.out,
+               "--train-scenes", str(args.train_scenes),
+               "--test-scenes", str(args.test_scenes),
+               "--steps", args.steps,
+               "--batch", str(args.batch),
+               "--batch-iterative", str(args.batch_iterative),
+               "--compute-dtype", args.compute_dtype,
+               "--baseline", args.baseline,
+               "--max-rotation", str(args.max_rotation),
+               "--_train-evo", evo,
+               "--_train-until", str(target)]
+        r = subprocess.run(cmd)
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"training chunk {evo} -> step {target} failed "
+                f"(exit {r.returncode})")
+        done = target
+
+
+def _last_logged_loss(metrics_path: str):
+    last = None
+    try:
+        with open(metrics_path) as f:
+            for line in f:
+                if line.strip():
+                    last = line
+    except OSError:
+        return None
+    return json.loads(last).get("total_loss") if last else None
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", required=True)
@@ -149,6 +191,15 @@ def main():
                          "condition translation direction better "
                          "(tools/synthetic.py)")
     ap.add_argument("--max-rotation", type=float, default=0.08)
+    ap.add_argument("--steps-per-process", type=int, default=0,
+                    help="run training in child processes of at most N "
+                         "steps each (resuming from recovery snapshots). "
+                         "Bounds the dev tunnel's per-transfer host-memory "
+                         "leak (BENCHMARKS.md 'environment quirks'); "
+                         "0 = train in-process (production hosts)")
+    ap.add_argument("--_train-evo", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--_train-until", type=int, default=None,
+                    help=argparse.SUPPRESS)
     ap.add_argument("--eval-every-evo", action="store_true", default=True)
     args = ap.parse_args()
 
@@ -194,6 +245,13 @@ def main():
         cache_dir=cache_dir,
     )
 
+    if args._train_evo is not None:
+        # child-process mode: train one bounded chunk of one evolution
+        # (resumes from the latest recovery snapshot) and exit
+        driver.max_steps = args._train_until
+        driver.run_evolution(args._train_evo)
+        return
+
     results = {}
     t0 = time.time()
     init_params = driver.trainer.init_params(jax.random.key(0))
@@ -204,12 +262,25 @@ def main():
     print(json.dumps(results["init"], indent=1), flush=True)
 
     for evo, cap in zip(EVOLUTIONS, steps):
-        driver.max_steps = cap
         print(f"\n=== evolution {evo} ({cap} steps) ===", flush=True)
-        out = driver.run_evolution(evo)
-        results[evo] = evaluate_params(engine, out["params"], test_h5,
+        if args.steps_per_process:
+            _train_chunked(args, evo, cap)
+            from demon_tpu.train.checkpoint import EvolutionCheckpointer
+
+            ck = EvolutionCheckpointer(driver.train_dir, evo)
+            params = ck.restore_params(
+                driver.trainer.init_params(jax.random.key(0)))
+            ck.close()
+            final_loss = _last_logged_loss(
+                os.path.join(driver.train_dir, evo, "metrics.jsonl"))
+        else:
+            driver.max_steps = cap
+            out = driver.run_evolution(evo)
+            params = out["params"]
+            final_loss = out["metrics"].get("total_loss")
+        results[evo] = evaluate_params(engine, params, test_h5,
                                        batch_size=eval_bs)
-        results[evo]["final_loss"] = out["metrics"].get("total_loss")
+        results[evo]["final_loss"] = final_loss
         print(json.dumps(results[evo], indent=1), flush=True)
         with open(os.path.join(args.out, "convergence_results.json"),
                   "w") as f:

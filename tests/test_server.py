@@ -125,3 +125,69 @@ def test_server_submit_validation(tiny):
                           np.zeros((8, 8, 3), np.float32))
         depth, rot, trans = fut_ok.result(timeout=300)
         assert depth.shape == (H, W) and np.isfinite(depth).all()
+
+
+def test_server_failed_pinning_batch_unpins(tiny):
+    """A first request whose batch FAILS must not pin the server's shapes:
+    subsequent well-formed requests at the real resolution still serve."""
+    engine, params = tiny
+    rng = np.random.RandomState(3)
+    real_predict = engine.predict
+
+    def failing(params_, ip, i22, intr=None):
+        if ip.shape[1] == 32:  # the bad resolution
+            raise ValueError("unsupported resolution")
+        return real_predict(params_, ip, i22, intr)
+
+    engine.predict = failing
+    try:
+        with DemonServer(engine, params, max_batch=4,
+                         max_wait_ms=10) as server:
+            bad = server.submit(np.zeros((32, 32, 6), np.float32),
+                                np.zeros((8, 8, 3), np.float32))
+            with pytest.raises(ValueError):
+                bad.result(timeout=300)
+            # the failed pin rolled back -> 64x64 serves normally
+            good = server.submit(
+                rng.rand(64, 64, 6).astype(np.float32) - 0.5,
+                rng.rand(16, 16, 3).astype(np.float32) - 0.5)
+            depth, rot, trans = good.result(timeout=300)
+            assert np.isfinite(depth).all()
+    finally:
+        engine.predict = real_predict
+
+
+def test_server_warmup_covers_non_pow2_max_batch():
+    """warmup() must compile the max_batch bucket even when it is not a
+    power of two (runtime _bucket dispatches it)."""
+    calls = []
+
+    class _DummyEngine:
+        HEIGHT, WIDTH = 8, 8
+
+        def predict(self, params, ip, i22, intr=None):
+            calls.append(ip.shape[0])
+
+    server = DemonServer(_DummyEngine(), {}, max_batch=24)
+    try:
+        assert server._bucket(17) == 24
+        server.warmup()
+        assert calls == [1, 2, 4, 8, 16, 24], calls
+    finally:
+        server.close()
+
+
+def test_rpc_close_without_serving_does_not_deadlock(tiny):
+    """Constructing DemonRpcServer and closing it without ever entering
+    serve_forever()/start() must return (used to deadlock in shutdown())."""
+    import threading
+
+    from demon_tpu.engine.rpc import DemonRpcServer
+
+    engine, params = tiny
+    with DemonServer(engine, params, max_batch=2) as backend:
+        rpc = DemonRpcServer(backend, host="127.0.0.1", port=0)
+        t = threading.Thread(target=rpc.close)
+        t.start()
+        t.join(timeout=10)
+        assert not t.is_alive(), "close() deadlocked"
