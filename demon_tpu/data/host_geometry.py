@@ -166,8 +166,9 @@ def compute_flow(depth1: np.ndarray, K1n, R1, t1, K2n, R2, t2,
     P2 = K2 @ np.hstack([np.asarray(R2), np.asarray(t2).reshape(3, 1)])
     P2 = P2.astype(np.float32)
     p2 = Xw @ P2[:, :3].T + P2[:, 3]
-    u2 = p2[..., 0] / p2[..., 2]
-    v2 = p2[..., 1] / p2[..., 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u2 = p2[..., 0] / p2[..., 2]
+        v2 = p2[..., 1] / p2[..., 2]
     xs = np.arange(w, dtype=np.float32) + 0.5
     ys = np.arange(h, dtype=np.float32) + 0.5
     flow = np.stack([u2 - xs[None, :], v2 - ys[:, None]], axis=-1)
@@ -191,8 +192,12 @@ def compute_depthmask(depth1: np.ndarray, K1n, R1, t1, K2n, R2, t2,
     Xw = (pos - np.asarray(t1, np.float32)) @ np.asarray(R1, np.float32)
     P2 = (K2 @ np.hstack([np.asarray(R2), np.asarray(t2).reshape(3, 1)])).astype(np.float32)
     p2 = Xw @ P2[:, :3].T + P2[:, 3]
-    u2 = p2[..., 0] / p2[..., 2]
-    v2 = p2[..., 1] / p2[..., 2]
+    # like the reference, no z>0 test: points behind camera 2 may project
+    # in-bounds and stay masked-in (multivih5datareader.cpp:483-495
+    # divides by p2.z unconditionally) — kept for parity
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u2 = p2[..., 0] / p2[..., 2]
+        v2 = p2[..., 1] / p2[..., 2]
     inb2 = (u2 >= border2) & (v2 >= border2) & (u2 < w - border2) & (v2 < h - border2)
     mask = (valid & inb2).astype(np.float32)
     if border1 > 0:

@@ -231,7 +231,9 @@ class _Scene:
 
 
 def _nearest_resize(a: np.ndarray, h: int, w: int) -> np.ndarray:
-    """cv2 INTER_NEAREST semantics: src index = floor(dst * scale)."""
+    """cv2 INTER_NEAREST semantics: src index = floor(dst * scale).
+    Keep in sync with view_tools._nearest_resize2d /
+    harness._nearest_resize / ops resize_nearest."""
     H, W = a.shape[:2]
     ys = np.minimum((np.arange(h) * (H / h)).astype(np.int64), H - 1)
     xs = np.minimum((np.arange(w) * (W / w)).astype(np.int64), W - 1)

@@ -91,6 +91,9 @@ def invalidate_points_not_visible_in_second_image(depth, motion, intrinsics):
 
 
 def _nearest_resize(a: np.ndarray, shape) -> np.ndarray:
+    # floor(dst*scale) convention — keep in sync with its siblings
+    # (reader._nearest_resize, view_tools._nearest_resize2d,
+    # ops/image.py resize_nearest), which differ only in axis order
     H, W = a.shape[-2], a.shape[-1]
     h, w = shape
     ys = np.minimum((np.arange(h) * (H / h)).astype(np.int64), H - 1)
@@ -108,6 +111,9 @@ def get_data(iterative: bool, results_h5_file, snap: str, sample: str,
     GT are nearest-upsampled; NYU predictions at Eigen's (109,147) trigger
     the (436,588) GT crop.
     """
+    # NOTE 'normals' here vs 'predicted_normal' (singular) in
+    # get_metainfo — the reference has the same mismatch
+    # (evaluate_to_xarray.py:70 vs :158), reproduced for parity
     data_types = ["motion", "depth", "flow", "normals", "intrinsics"]
     data: Dict[str, np.ndarray] = {}
     gt_sample_id = None
@@ -158,6 +164,10 @@ def get_data(iterative: bool, results_h5_file, snap: str, sample: str,
             data["depth_pred"], data["depth_gt"].shape)
     if ("flow_gt" in data and "flow_pred" in data
             and data["flow_gt"].shape != data["flow_pred"].shape):
+        # resized to DEPTH_gt's shape, not flow_gt's — deliberate
+        # reproduction of the reference quirk (evaluate_to_xarray.py:
+        # 203-205), which eval results depend on when GT depth is
+        # cropped/resized differently from GT flow
         data["flow_pred"] = _nearest_resize(
             data["flow_pred"], data["depth_gt"].shape)
 

@@ -52,14 +52,21 @@ def concat_images_horizontal(images):
 
 def safe_crop_image(image, box, fill_value):
     """Crop with border fill when the box exceeds the image
-    (reference helpers.py:74-103)."""
+    (reference helpers.py:74-103).
+
+    Deliberate fix over the reference: its PIL path pastes the source at
+    max(0, -x0) so a POSITIVE x0/y0 with an out-of-range x1/y1 leaves the
+    crop unshifted — misaligned with safe_crop_array2d (which offsets the
+    source correctly) and hence with the depth map in adjust_intrinsics.
+    Pasting at (-x0, -y0) (PIL clips negative offsets) makes the two
+    paths agree."""
     from PIL import Image
 
     x0, y0, x1, y1 = box
     if x0 >= 0 and y0 >= 0 and x1 < image.width and y1 < image.height:
         return image.crop(box)
     tmp = Image.new(image.mode, (x1 - x0, y1 - y0), fill_value)
-    tmp.paste(image, (-x0 if x0 < 0 else 0, -y0 if y0 < 0 else 0))
+    tmp.paste(image, (-x0, -y0))
     return tmp
 
 

@@ -150,20 +150,24 @@ def create_samples_from_sequence(h5file, sun3d_data_path: str, seq_name: str,
                 views.append(view2._replace(image=image2))
                 used_views.add(i2)
             if len(views) > max_views_num:
+                # post-append '>' admits max_views_num+1 views — reference
+                # parity (sun3d_utils.py:211-212)
                 break
 
         if len(views) > 1:
+            # group is named after the anchor's position in the sharp-frame
+            # list, not its frame id — reference parity (sun3d_utils.py:215
+            # uses img_ids[i1], i1 being the enumerate index)
             group_name = group_prefix + "-{:07d}".format(img_ids[i1])
+            # the reference writes EVERY ordered pair: its range test
+            # `baseline >= lo or baseline <= hi` (sun3d_utils.py:222) is
+            # always true, so the per-pair filter is a no-op; real
+            # baseline/angle/consistency filtering already happened when
+            # each view was admitted against the anchor above
             view_pairs = []
             for a, b in itertools.product(range(len(views)), repeat=2):
                 if a != b:
-                    baseline = float(np.linalg.norm(views[a].t - views[b].t))
-                    if baseline_range[0] <= baseline <= baseline_range[1]:
-                        view_pairs.extend((a, b))
-            if not view_pairs:
-                # keep the reference's guarantee that written groups have
-                # at least the (0, 1) pair
-                view_pairs = [0, 1, 1, 0]
+                    view_pairs.extend((a, b))
             for i, v in enumerate(views):
                 write_view(h5file.require_group(
                     f"{group_name}/frames/t0/v{i}"), v)

@@ -105,6 +105,8 @@ def check_depth_consistency(view: View, rest_of_the_views: Sequence[View],
 
 
 def _nearest_resize2d(a: np.ndarray, h: int, w: int) -> np.ndarray:
+    # floor(dst*scale) convention — keep in sync with
+    # reader._nearest_resize / harness._nearest_resize / ops resize_nearest
     H, W = a.shape
     ys = np.minimum((np.arange(h) * (H / h)).astype(np.int64), H - 1)
     xs = np.minimum((np.arange(w) * (W / w)).astype(np.int64), W - 1)

@@ -118,3 +118,23 @@ def test_create_samples_from_sequence(synthetic_sun3d, tmp_path):
         batch = reader.get_batch(timeout=60)
     assert batch["IMAGE_PAIR"].shape == (1, 48, 64, 6)
     assert np.isfinite(batch["MOTION"]).all()
+
+
+def test_safe_crop_image_matches_array_when_box_overflows_right():
+    """A crop whose origin is positive but whose extent exceeds the image
+    must shift the pasted content by the origin — exactly like
+    safe_crop_array2d — so adjust_intrinsics keeps image and depth
+    aligned (deliberate fix over the reference PIL path)."""
+    from PIL import Image
+
+    from demon_tpu.tools.helpers import safe_crop_array2d, safe_crop_image
+
+    arr = np.arange(100 * 80, dtype=np.float32).reshape(80, 100)
+    img = Image.fromarray(arr.astype(np.uint8), "L")
+    box = (10, 0, 120, 50)  # x1 beyond width, x0 positive
+    a = safe_crop_array2d(arr, box, 0.0)
+    i = np.asarray(safe_crop_image(img, box, 0))
+    assert a.shape == i.shape == (50, 110)
+    np.testing.assert_array_equal(i[:, :90], arr[:50, 10:].astype(np.uint8))
+    np.testing.assert_array_equal(a[:, :90], arr[:50, 10:])
+    np.testing.assert_array_equal(i[:, 90:], 0)
