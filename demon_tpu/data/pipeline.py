@@ -26,9 +26,10 @@ def device_prefetch(
 ) -> Iterator[Dict[str, jax.Array]]:
     """Move numpy batches onto devices ahead of consumption.
 
-    Non-array entries (sample ids) are passed through untouched. With a
-    mesh, arrays are placed batch-sharded over `axis`; without, they go to
-    the default device.
+    Entries named in `drop_keys` are REMOVED (they are host-side strings a
+    jitted consumer cannot take); other non-array entries pass through
+    untouched. With a mesh, arrays are placed batch-sharded over `axis`;
+    without, they go to the default device.
     """
     import collections
 
@@ -37,7 +38,9 @@ def device_prefetch(
     def _put(batch):
         out = {}
         for k, v in batch.items():
-            if k in drop_keys or not isinstance(v, np.ndarray):
+            if k in drop_keys:
+                continue
+            if not isinstance(v, np.ndarray):
                 out[k] = v
             elif mesh is not None:
                 out[k] = jax.device_put(

@@ -12,13 +12,14 @@ import jax
 import numpy as np
 
 
-def _manager(directory: str, max_to_keep: Optional[int] = None):
+def _manager(directory: str, max_to_keep: Optional[int] = None,
+             keep_period: Optional[int] = None):
     import orbax.checkpoint as ocp
 
     return ocp.CheckpointManager(
         os.path.abspath(directory),
         options=ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep, create=True),
+            max_to_keep=max_to_keep, keep_period=keep_period, create=True),
     )
 
 
@@ -33,9 +34,17 @@ class EvolutionCheckpointer:
     scope name, training/README.md:14-19).
     """
 
-    def __init__(self, train_dir: str, evolution: str, max_to_keep: int = 3):
+    def __init__(self, train_dir: str, evolution: str, max_to_keep: int = 3,
+                 keep_period: Optional[int] = None):
+        """max_to_keep bounds the rotating RECOVERY snapshots; pass
+        keep_period = saver_interval so milestone snapshots (step %
+        keep_period == 0) are kept forever — the reference runs a
+        permanent saver alongside the recovery saver (training.py:
+        586-596), and without keep_period every recovery save would
+        evict the milestones."""
         self.dir = os.path.join(train_dir, evolution, "checkpoints")
-        self._mgr = _manager(self.dir, max_to_keep=max_to_keep)
+        self._mgr = _manager(self.dir, max_to_keep=max_to_keep,
+                             keep_period=keep_period)
 
     def save(self, step: int, params, opt_state=None, force: bool = False):
         import orbax.checkpoint as ocp
@@ -78,14 +87,21 @@ class EvolutionCheckpointer:
 def check_numerics(tree, name: str = "tree"):
     """Raise if any leaf contains NaN/Inf — the reference guards training
     with tf.check_numerics on the loss every display step and on all train
-    vars every 1000 steps (training.py:560-563,592-594)."""
-    bad = []
+    vars every 1000 steps (training.py:560-563,592-594).
+
+    The reduction runs on device (isfinite + all per leaf) and only the
+    scalar verdicts come to host: no full parameter download per check,
+    and it works on sharded, non-fully-addressable arrays in multi-host
+    meshes where np.asarray would raise."""
+    import jax.numpy as jnp
+
+    flags = {}
 
     def _check(path, leaf):
-        a = np.asarray(leaf)
-        if a.dtype.kind == "f" and not np.all(np.isfinite(a)):
-            bad.append(jax.tree_util.keystr(path))
+        if hasattr(leaf, "dtype") and np.dtype(leaf.dtype).kind == "f":
+            flags[jax.tree_util.keystr(path)] = jnp.all(jnp.isfinite(leaf))
 
     jax.tree_util.tree_map_with_path(_check, tree)
+    bad = [k for k, ok in flags.items() if not bool(ok)]
     if bad:
         raise FloatingPointError(f"non-finite values in {name}: {bad[:5]}")

@@ -113,16 +113,22 @@ class TrainingDriver:
         idx = EVOLUTIONS.index(evo)
         # resume this evolution if it has checkpoints
         ck = EvolutionCheckpointer(self.train_dir, evo)
-        if ck.latest_step() is not None:
-            opt_like = self.trainer.init_opt_state(evo, params_like)
-            step, restored = ck.restore(
-                {"params": params_like, "opt_state": opt_like})
-            return restored["params"], restored.get("opt_state"), step
+        try:
+            if ck.latest_step() is not None:
+                opt_like = self.trainer.init_opt_state(evo, params_like)
+                step, restored = ck.restore(
+                    {"params": params_like, "opt_state": opt_like})
+                return restored["params"], restored.get("opt_state"), step
+        finally:
+            ck.close()
         # warm start from the previous evolution
         for prev in reversed(EVOLUTIONS[:idx]):
             ckp = EvolutionCheckpointer(self.train_dir, prev)
-            if ckp.latest_step() is not None:
-                return ckp.restore_params(params_like), None, 0
+            try:
+                if ckp.latest_step() is not None:
+                    return ckp.restore_params(params_like), None, 0
+            finally:
+                ckp.close()
         return params_like, None, 0
 
     # ------------------------------------------------------------------
@@ -137,7 +143,8 @@ class TrainingDriver:
         if opt_state is None:
             opt_state = self.trainer.init_opt_state(evo, params)
         step_fn = self.trainer.make_train_step(evo)
-        ck = EvolutionCheckpointer(self.train_dir, evo)
+        ck = EvolutionCheckpointer(self.train_dir, evo,
+                                   keep_period=self.saver_interval)
         logger = MetricsLogger(
             os.path.join(self.train_dir, evo, "metrics.jsonl"))
 
@@ -156,8 +163,8 @@ class TrainingDriver:
         try:
             step = start_step
             while step < max_iter:
+                # (SAMPLE_IDS never reaches here — device_prefetch drops it)
                 batch = next(batches)
-                batch = {k: v for k, v in batch.items() if k != "SAMPLE_IDS"}
                 params, opt_state, metrics, replay = step_fn(
                     params, opt_state, batch,
                     jnp.asarray(step, jnp.int32), replay)
@@ -186,14 +193,24 @@ class TrainingDriver:
                             f"non-finite total loss at step {step}")
                 if step % self.check_numerics_interval == 0:
                     check_numerics(params, f"params@{step}")
-                if step % self.saver_interval == 0 or step == max_iter:
-                    ck.save(step, params, opt_state)
-                elif step % self.recovery_interval == 0:
+                if (step % self.saver_interval == 0
+                        or step % self.recovery_interval == 0
+                        or step == max_iter):
+                    # one manager, two retention classes: steps at
+                    # saver_interval multiples are kept forever
+                    # (keep_period), recovery steps rotate (max_to_keep)
                     ck.save(step, params, opt_state)
         finally:
             reader.close()
             ck.wait()
-            if ck.latest_step() != step:
+            # a step interrupted mid-dispatch leaves params/opt_state
+            # bound to buffers already DONATED to the step — saving those
+            # would raise from the cleanup path and mask the original
+            # error, so only force-save live trees
+            alive = not any(
+                getattr(leaf, "is_deleted", lambda: False)()
+                for leaf in jax.tree.leaves((params, opt_state)))
+            if ck.latest_step() != step and alive:
                 ck.save(step, params, opt_state, force=True)
             ck.wait()
             ck.close()

@@ -142,7 +142,10 @@ def depth_refine_loss_block(
     pr_depth0, pr_normal0,
     depth_weight, depth_sig_weight, normal_weight, loss_prefix="",
 ) -> Dict[str, jax.Array]:
-    """Losses on the refinement network (reference v2/losses.py:265-308)."""
+    """Losses on the refinement network (reference v2/losses.py:265-308).
+
+    pr_normal0 may be None (the v1 refinement block predicts depth only,
+    models/blocks.py) — the normal loss is then omitted."""
     losses = {}
     eps = 1e-5
     losses["loss_depth0"] = depth_weight * pointwise_l2_loss(pr_depth0, gt_depth0, eps)
@@ -150,7 +153,9 @@ def depth_refine_loss_block(
     losses["loss_depth0_sig"] = depth_sig_weight * pointwise_l2_loss(
         pr_sig, gt_depth0_sig, eps)
     losses["loss_depth0_sig_unscaled"] = pointwise_l2_loss(pr_sig, gt_depth0_sig, 0.0)
-    losses["loss_normal0"] = normal_weight * pointwise_l2_loss(pr_normal0, gt_normal0, eps)
+    if pr_normal0 is not None:
+        losses["loss_normal0"] = normal_weight * pointwise_l2_loss(
+            pr_normal0, gt_normal0, eps)
     return {loss_prefix + k: v for k, v in losses.items()}
 
 
@@ -182,6 +187,11 @@ def prepare_ground_truth_tensors(
 
     return {
         "depth0": depth,
+        # GT depth sig images use the FLOW epsilon (0.001) while the
+        # prediction side uses 0.01 — the reference has the same mismatch
+        # (v2/losses.py:340 vs :234,:291), which leaves a small nonzero
+        # sig-loss floor even for perfect predictions; reproduced for
+        # training parity
         "depth0_sig": ops.scale_invariant_gradient(depth, **SIG_PARAMS_FLOW),
         "depth2": d2,
         "depth2_sig": ops.scale_invariant_gradient(d2, **SIG_PARAMS_FLOW),

@@ -49,6 +49,11 @@ from .schedules import demon_lr_schedule, ease_in_quad, ease_out_quad
 
 EVOLUTIONS = ("0_flow1", "1_dm1", "2_flow2", "3_dm2", "4_iterative", "5_refine")
 
+# ground-truth keys evolution 4's losses consume on recycled rows; the
+# replay carry stores exactly these (see make_train_step)
+REPLAY_GT_KEYS = ("flow2", "flow5", "flow2_sig", "depth2", "depth2_sig",
+                  "normal2", "rotation", "translation")
+
 _K = 1000
 
 
@@ -289,9 +294,12 @@ class EvolutionTrainer:
             data = jax.tree.map(
                 lambda fresh, old: jnp.concatenate([fresh, old], 0),
                 data, replay["data"])
-            gt = jax.tree.map(
-                lambda fresh, old: jnp.concatenate([fresh, old], 0),
-                gt, replay["gt"])
+            # the carry holds only the gt keys evo-4's losses read — the
+            # full-resolution tensors (flow0, depth0[_sig], normal0) would
+            # add ~16 unused fp32 channels at 192x256 per recycled row to
+            # every step's concat/slice/constraint traffic
+            gt = {k: jnp.concatenate([gt[k], replay["gt"][k]], 0)
+                  for k in REPLAY_GT_KEYS}
             dm1_state = jax.tree.map(
                 lambda fresh, old: jnp.concatenate([fresh, old], 0),
                 dm1_state, replay["dm"])
@@ -383,12 +391,14 @@ class EvolutionTrainer:
                                         0.5 * cfg.depth_grad_loss_weight, max_iter)
             ld = L.depth_refine_loss_block(
                 gt["depth0"], gt["depth0_sig"], gt["normal0"],
-                ref["predict_depth0"], ref["predict_normal0"],
+                ref["predict_depth0"], ref.get("predict_normal0"),
                 cfg.depth_loss_weight, depth_sig_w, cfg.normal_loss_weight,
                 loss_prefix="netRefine_",
             )
             loss_dict.update(ld)
-            selected += ["netRefine_" + n for n in L.REFINE_SELECTED]
+            # v1's refinement block predicts depth only — no normal loss
+            selected += ["netRefine_" + n for n in L.REFINE_SELECTED
+                         if ("netRefine_" + n) in ld]
             return self._total(loss_dict, selected, params, evo), loss_dict, new_replay
 
         raise ValueError(f"unhandled evolution {evo}")
@@ -522,6 +532,7 @@ class EvolutionTrainer:
         translation = batch["MOTION"][:, 3:]
         gt = L.prepare_ground_truth_tensors(
             batch["DEPTH"], rotation, translation, batch["INTRINSICS"])
+        gt = {k: gt[k] for k in REPLAY_GT_KEYS}  # only what evo-4 reads
         data = {"IMAGE_PAIR": batch["IMAGE_PAIR"], "image2_2": image2_2,
                 "INTRINSICS": batch["INTRINSICS"]}
 
