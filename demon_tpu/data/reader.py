@@ -367,7 +367,14 @@ class _SceneProducer(threading.Thread):
             return 0
         w = np.array([s.interpolated_weight(self.iteration)
                       for s in self.params.source], np.float64)
-        w = w / w.sum()
+        total = w.sum()
+        if total <= 0:
+            # a curriculum gap where every source's keyframe weight is 0
+            # would otherwise yield NaN probabilities and kill the
+            # producer thread — fall back to uniform
+            w = np.full(len(w), 1.0 / len(w))
+        else:
+            w = w / total
         return int(self.rng.choice(len(w), p=w))
 
     def _load_scene(self, src_idx: int) -> Optional[_Scene]:
@@ -416,6 +423,10 @@ class _SceneProducer(threading.Thread):
             if len(viewpoint_ids) >= MAX_VIEWPOINTS:
                 break
         viewpoint_ids = sorted(viewpoint_ids)
+        # combinations (and hence sample_ids) use the REMAPPED camera-vector
+        # indices, not the original v<i> names — reference parity: the C++
+        # reader remaps exactly the same way before building sample ids
+        # (multivih5datareader.cpp:913-925, :1946)
         remap = {v: i for i, v in enumerate(viewpoint_ids)}
         scene.combinations = [(remap[a], remap[b]) for a, b in combos]
 
@@ -438,6 +449,13 @@ class _SceneProducer(threading.Thread):
                     if cam.depth_metric not in ("camera_z", "ray_length"):
                         raise RuntimeError(f"bad depth metric {cam.depth_metric}")
                     cam.depth_bytes = np.asarray(ds[...]).tobytes()
+                    ext = ds.attrs["extents"]
+                    cam.height, cam.width = int(ext[0]), int(ext[1])
+                if not self.need_images and not self.need_depth:
+                    # K normalization still needs the original image size;
+                    # read the depth extents attr (no payload decode)
+                    ds = vgroup["depth"] if sub_views == 1 \
+                        else vgroup["depth"][str(sub)]
                     ext = ds.attrs["extents"]
                     cam.height, cam.width = int(ext[0]), int(ext[1])
                 cds = vgroup["camera"] if sub_views == 1 else vgroup["camera"][str(sub)]
@@ -806,7 +824,7 @@ class _BatchBuilder(threading.Thread):
                         p.min_depth, p.max_depth, rotate180, mirror_x)
                 else:
                     d = d.copy()
-                    invalid = d == 0
+                    invalid = (d == 0) | ~np.isfinite(d)
                     if p.max_depth > 0:
                         invalid |= d > p.max_depth
                     if p.min_depth > 0:

@@ -31,6 +31,9 @@ def _head_conv_pair(x, c1, c2, *, pad_mode, dtype, pallas):
     b, h, w, cin = x.shape
     lane = lambda c: -(-c // 128) * 128
     bpe = 2 if dtype == jnp.bfloat16 else 4
+    # working-set estimate for the PACKED-TAP head kernel (9 taps ride N,
+    # 32-ch intermediate in VMEM) — deliberately different from
+    # layers._pallas_pair_fits, which budgets the factored-pair kernel
     vmem = h * w * (lane(cin) * bpe * 3 + 9 * 32 * 4 * 2)
     if pallas and c1 <= 32 and c2 <= 32 and vmem < 8 * 1024 * 1024:
         from ..ops.pallas_head import fused_head

@@ -134,8 +134,11 @@ def bundle_adjust(R: jax.Array, t: jax.Array, points: jax.Array,
         R_new, t_new = se3_compose(dR, dt, R, t)
         return (R_new, t_new, X + dX), cost
 
-    (R_out, t_out, X_out), costs = jax.lax.scan(
-        gn_step, (R, t, points), None, length=iterations)
+    # fp32 mantissas for the Jacobian/Schur/solve chain (see
+    # pose_graph.optimize_pose_graph — bf16-default matmuls stall GN)
+    with jax.default_matmul_precision("highest"):
+        (R_out, t_out, X_out), costs = jax.lax.scan(
+            gn_step, (R, t, points), None, length=iterations)
     return R_out, t_out, X_out, costs
 
 
@@ -312,6 +315,7 @@ def bundle_adjust_sparse(R: jax.Array, t: jax.Array, points: jax.Array,
         R_new, t_new = se3_compose(dR, dt, R, t)
         return (R_new, t_new, X + dX), cost
 
-    (R_out, t_out, X_out), costs = jax.lax.scan(
-        gn_step, (R, t, points), None, length=iterations)
+    with jax.default_matmul_precision("highest"):
+        (R_out, t_out, X_out), costs = jax.lax.scan(
+            gn_step, (R, t, points), None, length=iterations)
     return R_out, t_out, X_out, costs

@@ -42,7 +42,6 @@ def chain_relative_poses(R_rel: jax.Array, t_rel: jax.Array,
     poses with pose 0 = identity. R_rel/t_rel: [N-1, ...]; scales scale
     each translation (monocular scale propagation). Returns [N, 3, 3],
     [N, 3]."""
-    n = R_rel.shape[0] + 1
     if scales is not None:
         t_rel = t_rel * scales[..., None]
 
@@ -57,21 +56,6 @@ def chain_relative_poses(R_rel: jax.Array, t_rel: jax.Array,
     R_all = jnp.concatenate([init[0][None], Rs], axis=0)
     t_all = jnp.concatenate([init[1][None], ts], axis=0)
     return R_all, t_all
-
-
-def _edge_residual(R, t, edge: PoseGraphEdge):
-    """r = log( T_meas o T_i o T_j^-1 ) per edge -> [E, 6]."""
-    Ri = R[edge.i]
-    ti = t[edge.i]
-    Rj = R[edge.j]
-    tj = t[edge.j]
-    # predicted relative: T_ij_pred = T_j o T_i^-1
-    Ri_inv, ti_inv = se3_inverse(Ri, ti)
-    Rp, tp = se3_compose(Rj, tj, Ri_inv, ti_inv)
-    # error transform: T_meas o T_pred^-1
-    Rp_inv, tp_inv = se3_inverse(Rp, tp)
-    Re, te = se3_compose(edge.R_ij, edge.t_ij, Rp_inv, tp_inv)
-    return se3_log(Re, te)
 
 
 def optimize_pose_graph(R_init: jax.Array, t_init: jax.Array,
@@ -137,6 +121,10 @@ def optimize_pose_graph(R_init: jax.Array, t_init: jax.Array,
         R_new, t_new = se3_compose(dR, dt, R, t)
         return (R_new, t_new), jnp.sum(cost)
 
-    (R_out, t_out), costs = jax.lax.scan(
-        gn_step, (R_init, t_init), None, length=iterations)
+    # TPU matmuls default to bf16 mantissas — far too coarse for
+    # normal-equation solves: at default precision GN limit-cycles at
+    # ~4e-3 rad instead of converging (measured); force full fp32
+    with jax.default_matmul_precision("highest"):
+        (R_out, t_out), costs = jax.lax.scan(
+            gn_step, (R_init, t_init), None, length=iterations)
     return R_out, t_out, costs

@@ -35,13 +35,16 @@ inline float half_to_float(uint16_t h) {
     if (mant == 0) {
       bits = sign;  // +-0
     } else {        // subnormal: normalize
+      // value = mant * 2^-24; after s shifts the hidden bit sits at
+      // bit 10, so the unbiased exponent is -15 - s + 1 (NOT -15 - s:
+      // the first shift creates the hidden one, it doesn't halve)
       int shift = 0;
       while (!(mant & 0x400u)) {
         mant <<= 1;
         ++shift;
       }
       mant &= 0x3FFu;
-      bits = sign | ((127 - 15 - shift) << 23) | (mant << 13);
+      bits = sign | ((uint32_t)(127 - 15 - shift + 1) << 23) | (mant << 13);
     }
   } else if (exp == 31) {
     bits = sign | 0x7F800000u | (mant << 13);  // inf/nan

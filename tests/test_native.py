@@ -218,3 +218,18 @@ def test_cached_reader_matches_uncached(tmp_path):
     # depth via fp16 cache storage
     np.testing.assert_allclose(cached["DEPTH"], plain["DEPTH"], rtol=2e-3,
                                equal_nan=True)
+
+
+def test_lz4half_decode_subnormals_and_specials():
+    """fp16 subnormals (exponent 0, mantissa != 0) must decode to their
+    exact IEEE values — the old normalization was off by one exponent bit
+    (returned half the value); also pin zeros, inf and nan."""
+    bits = np.array([0x0001, 0x0200, 0x03FF,        # subnormals
+                     0x0000, 0x8000,                # +-0
+                     0x0400, 0x3C00, 0xBC00,        # smallest normal, +-1
+                     0x7C00, 0xFC00, 0x7E00],       # +-inf, nan
+                    np.uint16)
+    d = bits.view(np.float16)
+    comp = lz4_compress_hc(d.tobytes())
+    out = native.lz4half_to_float(comp, d.size)
+    np.testing.assert_array_equal(out, d.astype(np.float32))
