@@ -10,6 +10,13 @@ cache when `cache_dir` is set in its params: the producer thread memmaps
 raw arrays instead of h5 reads and the builder skips the decode entirely
 — prepare cost drops from ~10 ms/scene to a memcpy.
 
+Semantics match the h5 path: the stored pair list is in viewpoint_pairs
+attribute order; the reader re-shuffles it per visit in train mode and
+takes the first pair in test mode. One deliberate difference: scenes
+with more viewpoints than the MAX_VIEWPOINTS cap freeze the attr-order
+viewpoint SUBSET at build time (the h5 path re-draws it per visit) —
+only the pixels of the cached subset are stored.
+
 Cache layout (one directory per source):
     index.json               {key, scaled size, scenes: [{id, combos,
                               cameras: [{K, R, t, metric, offsets}]}]}
@@ -63,6 +70,10 @@ def build_scene_cache(source_path: str, cache_dir: str,
     scene_q: "_q.Queue" = _q.Queue(maxsize=4)
     producer = _SceneProducer(params, scene_q, need_images=True,
                               need_depth=True)
+    # store viewpoint_pairs in attribute order — the reader re-shuffles
+    # per visit in train mode and takes pairs[:1] in test mode, exactly
+    # like the non-cached h5 path, so cached and uncached serving agree
+    producer.deterministic_pairs = True
 
     class _Prep:
         """Borrow the builder's decode logic without starting threads."""
@@ -79,20 +90,21 @@ def build_scene_cache(source_path: str, cache_dir: str,
 
     index: Dict = {"source": source_path, "scaled_height": scaled_height,
                    "scaled_width": scaled_width, "scenes": []}
-    seen = set()
     img_f = open(os.path.join(out, "images.u8"), "wb")
     dep_f = open(os.path.join(out, "depths.f16"), "wb")
     img_off = 0
     dep_off = 0
     n_h5_groups = _count_groups(source_path)
     try:
-        while len(seen) < n_h5_groups:
+        # one pass of the group iterator covers every (file, group) pair
+        # exactly once — counting calls (not distinct ids) also handles
+        # ';'-joined files that reuse group names, which a seen-set of
+        # names would spin on forever
+        for done in range(n_h5_groups):
             scene = producer._load_scene(0)
-            if scene.scene_id in seen:
-                continue
-            seen.add(scene.scene_id)
             prep(scene)
             entry = {"id": scene.scene_id,
+                     "file": scene.file_idx,
                      "combinations": [list(c) for c in scene.combinations],
                      "cameras": []}
             for camvec in scene.cameras:
@@ -116,15 +128,15 @@ def build_scene_cache(source_path: str, cache_dir: str,
                     dep_off += d16.nbytes
                 entry["cameras"].append(vec)
             index["scenes"].append(entry)
-            if verbose and len(seen) % 200 == 0:
-                print(f"cached {len(seen)}/{n_h5_groups} scenes")
+            if verbose and (done + 1) % 200 == 0:
+                print(f"cached {done + 1}/{n_h5_groups} scenes")
     finally:
         img_f.close()
         dep_f.close()
     with open(index_path, "w") as f:
         json.dump(index, f)
     if verbose:
-        print(f"cache complete: {len(seen)} scenes -> {out}")
+        print(f"cache complete: {len(index['scenes'])} scenes -> {out}")
     return out
 
 
@@ -145,7 +157,6 @@ class SceneCache:
         self.depths = np.memmap(os.path.join(cache_subdir, "depths.f16"),
                                 dtype=np.float16, mode="r")
         self.scenes: List[dict] = self.index["scenes"]
-        self.by_id = {s["id"]: s for s in self.scenes}
 
     def __len__(self):
         return len(self.scenes)

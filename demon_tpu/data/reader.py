@@ -220,7 +220,7 @@ class _Camera:
 
 class _Scene:
     __slots__ = ("scene_id", "source_id", "cameras", "combinations",
-                 "prepared")
+                 "prepared", "file_idx")
 
     def __init__(self, scene_id: str, source_id: int):
         self.scene_id = scene_id
@@ -228,6 +228,7 @@ class _Scene:
         self.cameras: List[List[_Camera]] = []
         self.combinations: List[Tuple[int, int]] = []
         self.prepared = False  # True when served pre-decoded from cache
+        self.file_idx = 0      # index of the h5 file within its source
 
 
 def _nearest_resize(a: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -285,6 +286,10 @@ class _SceneProducer(threading.Thread):
         self.quit = threading.Event()
         self.error: Optional[BaseException] = None
         self.iteration = 0
+        # build_scene_cache sets this: keep viewpoint_pairs in attribute
+        # order so the cache stores a deterministic pair list (the reader
+        # re-shuffles per visit when serving; test phase takes pairs[:1])
+        self.deterministic_pairs = False
         # per-source iteration state
         self._h5_paths = [s.path.split(";") for s in params.source]
         self._caches = [self._open_cache(s) for s in params.source]
@@ -313,9 +318,17 @@ class _SceneProducer(threading.Thread):
         sorted in test; sharded per host."""
         cache = self._caches[src_idx]
         p = self.params
-        entries = sorted(cache.scenes, key=lambda e: e["id"])
+        entries = sorted(cache.scenes,
+                         key=lambda e: (e.get("file", 0), e["id"]))
         if p.num_hosts > 1:
-            entries = entries[p.host_id :: p.num_hosts]
+            # shard per FILE with the same stable rule as _group_iter /
+            # count_sample_groups, so cached and non-cached serving agree
+            # on which host owns which sample
+            byfile: Dict[int, list] = {}
+            for e in entries:
+                byfile.setdefault(e.get("file", 0), []).append(e)
+            entries = [e for fi in sorted(byfile)
+                       for e in byfile[fi][p.host_id :: p.num_hosts]]
         while True:
             order = list(entries)
             if not p.test_phase:
@@ -383,12 +396,21 @@ class _SceneProducer(threading.Thread):
             entry = next(self._cache_iters[src_idx])
             self.iteration += 1
             scene = self._caches[src_idx].load(entry, params)
+            # the cache stores the attribute-order pair list; apply the
+            # same per-visit policy as the h5 path (reader test contract /
+            # reference create_scene): first pair only in test phase,
+            # fresh random order in train
+            if params.test_phase:
+                scene.combinations = scene.combinations[:1]
+            else:
+                self.rng.shuffle(scene.combinations)
             scene.source_id = src_idx
             scene.prepared = True
             return scene
         path, f, group = next(self._group_iters[src_idx])
         self.iteration += 1
         scene = _Scene(group, src_idx)
+        scene.file_idx = self._h5_paths[src_idx].index(path)
 
         t0 = f[group]["frames"]["t0"]
         vp_names = sorted(t0.keys(), key=lambda s: int(s[1:]))
@@ -407,7 +429,7 @@ class _SceneProducer(threading.Thread):
         else:
             n = len(vp_names)
             pairs = [(i, j) for i in range(n) for j in range(n) if i != j]
-        if not params.test_phase:
+        if not params.test_phase and not self.deterministic_pairs:
             self.rng.shuffle(pairs)
 
         viewpoint_ids: List[int] = []

@@ -34,7 +34,10 @@ def make_mesh(
 
 
 def data_parallel_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
-    """Sharding that splits dim 0 (batch) across `axis`, replicating the rest."""
+    """Sharding that splits dim 0 (batch) across `axis`, replicating the
+    rest; 0-d leaves (scalar metadata) replicate."""
+    if ndim == 0:
+        return NamedSharding(mesh, P())
     spec = P(axis, *([None] * (ndim - 1)))
     return NamedSharding(mesh, spec)
 

@@ -7,7 +7,9 @@ convergence and accuracy can only be demonstrated here on self-generated
 scenes. Construction: a smooth random texture is the view-2 image; depth
 and relative motion are sampled; the view-1 image is the texture
 backward-warped by the ground-truth flow (ops.warp2d), which makes
-(image1, image2, depth1, R12, t12) exactly consistent up to occlusion.
+(image1, image2, depth1, R12, t12) consistent up to occlusion and the
+container's lossy WebP encoding (write_view, quality 90 — a small
+photometric noise floor on the stored images).
 
 Scenes are written with data.view_io.write_view (WebP + LZ4-fp16, the
 reference container, multivih5datareaderop/README.md:161-236), so the

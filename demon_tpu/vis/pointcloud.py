@@ -43,7 +43,10 @@ def compute_point_cloud_from_depthmap(depth, K, R, t, normals=None,
         n = np.asarray(normals, np.float32)[:, ys, xs].T
         result["normals"] = (n @ R).astype(np.float32)
     if colors is not None:
-        result["colors"] = np.asarray(colors)[:, ys, xs].T.astype(np.uint8)
+        # ascontiguousarray: the fancy-index transpose is F-ordered, which
+        # vtk's numpy_to_vtk and .view(np.uint8) both reject
+        result["colors"] = np.ascontiguousarray(
+            np.asarray(colors)[:, ys, xs].T.astype(np.uint8))
     return result
 
 
@@ -99,7 +102,8 @@ def write_ply(path: str, points: np.ndarray, colors=None, normals=None,
     if normals is not None:
         fields.append(np.asarray(normals, "<f4"))
     vertex_bytes = np.concatenate(
-        [f.view(np.uint8).reshape(n, -1) for f in fields], axis=1)
+        [np.ascontiguousarray(f).view(np.uint8).reshape(n, -1)
+         for f in fields], axis=1)
     if colors is not None:
         vertex_bytes = np.concatenate(
             [vertex_bytes, np.asarray(colors, np.uint8).reshape(n, 3)], axis=1)
@@ -111,7 +115,8 @@ def write_ply(path: str, points: np.ndarray, colors=None, normals=None,
             faces = np.asarray(faces, "<i4")
             counts = np.full((len(faces), 1), faces.shape[1], np.uint8)
             face_bytes = np.concatenate(
-                [counts, faces.view(np.uint8).reshape(len(faces), -1)], axis=1)
+                [counts, np.ascontiguousarray(faces).view(np.uint8)
+                 .reshape(len(faces), -1)], axis=1)
             f.write(face_bytes.tobytes())
 
 
@@ -136,7 +141,8 @@ def _prepare(inverse_depth, intrinsics, normals, rotation, translation, image):
     n = None if normals is None else np.asarray(normals).squeeze()
     img = None
     if image is not None:
-        img = ((np.asarray(image).squeeze() + 0.5) * 255).astype(np.uint8)
+        img = np.clip((np.asarray(image).squeeze() + 0.5) * 255.0,
+                      0, 255).astype(np.uint8)  # no uint8 wraparound
         if img.ndim == 3 and img.shape[-1] == 3:  # accept NHWC
             img = np.transpose(img, (2, 0, 1))
     return depth, K, R1, t1, R2, t2, n, img
@@ -204,6 +210,27 @@ def _vtk_show(cloud, cam1, cam2):
     actor.SetMapper(mapper)
     actor.GetProperty().SetPointSize(2)
     renderer.AddActor(actor)
+
+    for (R, t), rgb in ((cam1, (1.0, 0.2, 0.2)), (cam2, (0.2, 1.0, 0.2))):
+        verts, tris = camera_mesh(R, t)
+        cpoints = vtk.vtkPoints()
+        cpoints.SetData(numpy_to_vtk(
+            np.ascontiguousarray(verts.astype(np.float32))))
+        cpoly = vtk.vtkPolyData()
+        cpoly.SetPoints(cpoints)
+        ccells = vtk.vtkCellArray()
+        for tri in tris:
+            ccells.InsertNextCell(3)
+            for v in tri:
+                ccells.InsertCellPoint(int(v))
+        cpoly.SetPolys(ccells)
+        cmapper = vtk.vtkPolyDataMapper()
+        cmapper.SetInputData(cpoly)
+        cactor = vtk.vtkActor()
+        cactor.SetMapper(cmapper)
+        cactor.GetProperty().SetColor(*rgb)
+        cactor.GetProperty().SetRepresentationToWireframe()
+        renderer.AddActor(cactor)
 
     renwin = vtk.vtkRenderWindow()
     renwin.SetWindowName("Point Cloud Viewer")

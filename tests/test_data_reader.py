@@ -376,3 +376,51 @@ def test_reader_depth_pair(sculpture_h5):
     # the two mask channels differ (different viewpoints)
     m = batch["DEPTHMASKS"]
     assert (m[..., 0] != m[..., 1]).any()
+
+
+def test_cache_multifile_colliding_groups_and_test_phase(tmp_path):
+    """(a) Building a cache over ';'-joined files that reuse group names
+    must terminate and keep every scene (the old seen-set of group names
+    spun forever and dropped collisions). (b) Cached test-phase serving
+    must match the h5 path's contract: first attribute pair only, exact
+    one-pass coverage."""
+    from demon_tpu.data import MultiViH5DataReader
+    from demon_tpu.data.cache import SceneCache, build_scene_cache
+
+    views = _sculpture_views()
+    paths = []
+    for fi in range(2):
+        path = str(tmp_path / f"part{fi}.h5")
+        with h5py.File(path, "w") as f:
+            for i, v in enumerate(views):
+                # jitter so the two files' scenes are distinguishable
+                write_view(f.require_group(f"scene00000/frames/t0/v{i}"),
+                           v._replace(t=v.t + fi * 1e-3))
+            f["scene00000/frames/t0"].attrs["viewpoint_pairs"] = np.array(
+                [0, 1, 1, 0], np.int32)
+        paths.append(path)
+    source = ";".join(paths)
+
+    cache_dir = str(tmp_path / "cache")
+    subdir = build_scene_cache(source, cache_dir, 48, 64, verbose=False)
+    cache = SceneCache(subdir)
+    assert len(cache) == 2                      # collision kept, not dropped
+    assert sorted(e.get("file") for e in cache.scenes) == [0, 1]
+    # attribute order preserved (deterministic build, no shuffle)
+    for e in cache.scenes:
+        assert e["combinations"][0] == [0, 1]
+
+    params = {
+        "batch_size": 1, "test_phase": True, "builder_threads": 1,
+        "scaled_height": 48, "scaled_width": 64,
+        "top_output": ("IMAGE_PAIR", "MOTION", "DEPTH", "INTRINSICS",
+                       "SAMPLE_IDS"),
+        "cache_dir": cache_dir,
+        "source": [{"path": paths[0], "weight": [{"t": 0, "v": 1.0}]}],
+    }
+    with MultiViH5DataReader(params) as reader:
+        assert reader.test_iterations == 1      # one group -> one sample
+        seen_ids = [reader.get_batch(timeout=120)["SAMPLE_IDS"][0]
+                    for _ in range(reader.test_iterations)]
+    # first pair only, reference id format
+    assert seen_ids == ["scene00000/frames/t0/v0,v1"]
