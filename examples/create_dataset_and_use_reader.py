@@ -12,7 +12,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-REF_EXAMPLES = "/root/reference/examples"
+# sample assets shipped with the repo (the reference distributes the
+# same sculpture pair as example data)
+REF_EXAMPLES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 NORMALIZED_INTRINSICS = [0.89115971, 1.18821287, 0.5, 0.5]
 
 

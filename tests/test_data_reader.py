@@ -16,7 +16,9 @@ from demon_tpu.data import (
 )
 from demon_tpu.data import host_geometry as hg
 
-REF_EXAMPLES = "/root/reference/examples"
+# sample assets shipped with the repo (the reference distributes the
+# same sculpture pair as example data)
+REF_EXAMPLES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "examples", "data")
 NORM_INTR = np.array([0.89115971, 1.18821287, 0.5, 0.5])
 
 
