@@ -102,6 +102,12 @@ def check_numerics(tree, name: str = "tree"):
             flags[jax.tree_util.keystr(path)] = jnp.all(jnp.isfinite(leaf))
 
     jax.tree_util.tree_map_with_path(_check, tree)
-    bad = [k for k, ok in flags.items() if not bool(ok)]
+    if not flags:
+        return
+    # ONE host fetch for all verdicts — per-leaf bool() would pay a
+    # device round trip per parameter (minutes over a remote transport)
+    names = list(flags)
+    oks = np.asarray(jnp.stack([flags[n] for n in names]))
+    bad = [n for n, ok in zip(names, oks) if not ok]
     if bad:
         raise FloatingPointError(f"non-finite values in {name}: {bad[:5]}")
