@@ -54,6 +54,35 @@ def test_chain_relative_poses():
         np.testing.assert_allclose(t[i + 1], tc, atol=1e-6)
 
 
+def test_pose_graph_exact_edges_converge_to_machine_precision():
+    """With exact, consistent edges GN must drive the cost to ~0 and
+    recover the ground-truth poses — a regression guard for solver
+    precision (on TPU the normal-equation matmuls must run at
+    Precision.HIGHEST or GN limit-cycles at ~4e-3 rad; see
+    pose_graph.optimize_pose_graph)."""
+    rng = np.random.RandomState(7)
+    n = 6
+    (R_gt, t_gt), (R_rel, t_rel) = _random_trajectory(rng, n)
+    edges = PoseGraphEdge(
+        i=jnp.asarray(range(n - 1), jnp.int32),
+        j=jnp.asarray(range(1, n), jnp.int32),
+        R_ij=R_rel, t_ij=t_rel, weight=jnp.ones(n - 1),
+    )
+    # perturb the initialization, keep pose 0 fixed at GT (gauge)
+    xi = rng.randn(n, 6) * 0.01
+    xi[0] = 0
+    dR, dt = se3_exp(jnp.asarray(xi))
+    R0, t0 = se3_compose(dR, dt, R_gt, t_gt)
+    R_opt, t_opt, costs = jax.jit(
+        lambda R, t: optimize_pose_graph(R, t, edges, iterations=12)
+    )(R0, t0)
+    assert float(costs[-1]) < 1e-10, np.asarray(costs)
+    np.testing.assert_allclose(np.asarray(R_opt), np.asarray(R_gt),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_opt), np.asarray(t_gt),
+                               atol=1e-5)
+
+
 def test_pose_graph_recovers_noisy_chain():
     rng = np.random.RandomState(2)
     n = 8
