@@ -76,7 +76,8 @@ def create_ground_truth_file(dataset, dataset_dir, out_dir="."):
     return gt_file
 
 
-def create_prediction_file(dataset, dataset_dir, params, out_dir="."):
+def create_prediction_file(dataset, dataset_dir, params, out_dir=".",
+                           variant="v1"):
     """(reference evaluation.py:122-261)"""
     from demon_tpu import ops
     from demon_tpu.data import MultiViH5DataReader
@@ -87,7 +88,7 @@ def create_prediction_file(dataset, dataset_dir, params, out_dir="."):
         return pr_file
     print(f"creating {pr_file}")
 
-    engine = DemonEngine(variant="v1", iterations=3)
+    engine = DemonEngine(variant=variant, iterations=3)
     src = os.path.join(dataset_dir, f"{dataset}_test.h5")
     with MultiViH5DataReader(_reader_params(src, 192, 256, norm=True)) as reader, \
             h5py.File(pr_file, "w") as f:
@@ -121,6 +122,10 @@ def main():
     ap.add_argument("--weights", default=None)
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--datasets", nargs="*", default=list(DATASETS))
+    ap.add_argument("--variant", default="v1", choices=["v1", "v2"],
+                    help="v1 = released-weights architecture; v2 = the "
+                         "trainable architecture (evaluate checkpoints "
+                         "from the training driver)")
     args = ap.parse_args()
 
     import jax
@@ -129,7 +134,7 @@ def main():
     from demon_tpu.eval import evaluate, read_labeled_array_json, \
         write_labeled_array_json
 
-    engine = DemonEngine(variant="v1", iterations=3)
+    engine = DemonEngine(variant=args.variant, iterations=3)
     if args.weights:
         from demon_tpu.tools.converter import load_params
 
@@ -141,7 +146,7 @@ def main():
     for dataset in args.datasets:
         gt_file = create_ground_truth_file(dataset, args.dataset_dir, args.out_dir)
         pr_file = create_prediction_file(dataset, args.dataset_dir, params,
-                                         args.out_dir)
+                                         args.out_dir, variant=args.variant)
         print("computing errors for", dataset)
         res = evaluate(pr_file, gt_file, depthmask=False,
                        eigen_crop_gt_and_pred=True)
