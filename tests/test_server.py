@@ -176,6 +176,22 @@ def test_server_warmup_covers_non_pow2_max_batch():
     finally:
         server.close()
 
+    # with a mesh: buckets start at the data-axis size and inputs arrive
+    # sharded (params replicate at construction — pass a real pytree)
+    import jax
+
+    from demon_tpu.engine.sharding import make_mesh
+
+    mesh = make_mesh((4,), ("data",), devices=jax.devices()[:4])
+    calls.clear()
+    server = DemonServer(_DummyEngine(), {"w": np.zeros(3, np.float32)},
+                         max_batch=24, mesh=mesh)
+    try:
+        server.warmup()
+        assert calls == [4, 8, 16, 24], calls
+    finally:
+        server.close()
+
 
 def test_rpc_close_without_serving_does_not_deadlock(tiny):
     """Constructing DemonRpcServer and closing it without ever entering
