@@ -19,7 +19,7 @@ full production path — reader, cache, augmentation — runs unchanged.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -129,13 +129,233 @@ def make_scene(rng: np.random.RandomState, height: int = 192,
     return v1, v2
 
 
+# ---------------------------------------------------------------------------
+# Layered ray-cast scenes
+#
+# The smooth-noise scenes above are occlusion-free by construction (image1
+# is a warp of image2), which leaves depth discontinuities, occlusion
+# boundaries and sharp texture — the cues real SfM data is full of —
+# unrepresented. The layered generator renders BOTH views of a true 3D
+# scene (textured planar patches over a background plane) by ray casting,
+# so each view gets exact depth with hard discontinuities and genuinely
+# occluded regions, and the textures carry strong high-frequency content
+# (checkers/stripes) that conditions translation direction far better than
+# smooth noise.
+# ---------------------------------------------------------------------------
+
+
+def _patch_texture(rng: np.random.RandomState, res: int = 160) -> np.ndarray:
+    """Procedural [res,res,3] float texture in [0,1]: base color + smooth
+    noise + randomly mixed checker/stripe layers (high-frequency content)."""
+    base = rng.uniform(0.15, 0.85, size=3).astype(np.float32)
+    tex = np.broadcast_to(base, (res, res, 3)).copy()
+    tex += (_smooth_noise(rng, res, res, 3, base=5, octaves=3) - 0.5) \
+        * rng.uniform(0.2, 0.5)
+    u = (np.arange(res, dtype=np.float32) + 0.5) / res
+    uu, vv = np.meshgrid(u, u)
+    if rng.rand() < 0.75:  # checker
+        f1, f2 = rng.randint(2, 13), rng.randint(2, 13)
+        checker = ((np.floor(uu * f1) + np.floor(vv * f2)) % 2.0) - 0.5
+        tex += checker[..., None] * rng.uniform(0.15, 0.45, size=3)
+    if rng.rand() < 0.6:  # oriented stripes
+        th = rng.uniform(0, np.pi)
+        f = rng.uniform(3.0, 16.0)
+        stripes = np.sin(2 * np.pi * f * (uu * np.cos(th) + vv * np.sin(th)))
+        if rng.rand() < 0.5:
+            stripes = np.sign(stripes)
+        tex += (stripes * 0.5)[..., None] * rng.uniform(0.1, 0.35, size=3)
+    return np.clip(tex, 0.0, 1.0)
+
+
+def _sample_texture(tex: np.ndarray, u: np.ndarray, v: np.ndarray
+                    ) -> np.ndarray:
+    """Bilinear texture lookup; u, v in [0,1] arrays -> [..., 3]."""
+    res = tex.shape[0]
+    x = np.clip(u * res - 0.5, 0, res - 1)
+    y = np.clip(v * res - 0.5, 0, res - 1)
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, res - 2)
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, res - 2)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+    return (tex[y0, x0] * (1 - wx) * (1 - wy) + tex[y0, x0 + 1] * wx * (1 - wy)
+            + tex[y0 + 1, x0] * (1 - wx) * wy + tex[y0 + 1, x0 + 1] * wx * wy)
+
+
+def _make_patch(center: np.ndarray, normal: np.ndarray, size_u: float,
+                size_v: float, rng: np.random.RandomState) -> dict:
+    """Planar patch p(u,v) = p0 + u*eu + v*ev, u,v in [0,1]."""
+    n = normal / (np.linalg.norm(normal) + 1e-12)
+    # in-plane basis with a random roll
+    a = np.array([1.0, 0.0, 0.0])
+    if abs(n[0]) > 0.9:
+        a = np.array([0.0, 1.0, 0.0])
+    e1 = np.cross(n, a)
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(n, e1)
+    roll = rng.uniform(0, 2 * np.pi)
+    eu = (np.cos(roll) * e1 + np.sin(roll) * e2) * size_u
+    ev = (-np.sin(roll) * e1 + np.cos(roll) * e2) * size_v
+    p0 = center - 0.5 * eu - 0.5 * ev
+    return {"p0": p0, "eu": eu, "ev": ev, "n": np.cross(eu, ev),
+            "tex": _patch_texture(rng)}
+
+
+def _raycast(patches: List[dict], R: np.ndarray, t: np.ndarray,
+             height: int, width: int, ss: int = 1, want_image: bool = True
+             ) -> Tuple[np.ndarray, np.ndarray]:
+    """Render (image [H,W,3] float, depth [H,W] camera-z) of the patch list
+    from a camera with x_cam = R @ x_world + t, at `ss`x supersampling
+    (image is box-filtered back to [height,width]; depth is rendered at
+    native resolution semantics when ss == 1)."""
+    h, w = height * ss, width * ss
+    xs = ((np.arange(w, dtype=np.float32) + 0.5) / w - _INTR[2]) / _INTR[0]
+    ys = ((np.arange(h, dtype=np.float32) + 0.5) / h - _INTR[3]) / _INTR[1]
+    C = (-R.T @ t).astype(np.float32)  # camera center in world
+    Rf = R.astype(np.float32)
+    best_z = np.full((h, w), np.inf, np.float32)
+    img = np.zeros((h, w, 3), np.float32)
+    # precompute world-frame ray components: d_w = R.T @ [dx, dy, 1]
+    row_dir = ys[:, None] * Rf[1, :]                 # [h,3]
+    col_dir = xs[:, None] * Rf[0, :] + Rf[2, :]      # [w,3]
+    for p in patches:
+        # projected-bbox cull: restrict to the patch's pixel footprint
+        corners = np.stack([p["p0"], p["p0"] + p["eu"], p["p0"] + p["ev"],
+                            p["p0"] + p["eu"] + p["ev"]])
+        cc = corners @ R.T + t
+        if (cc[:, 2] <= 0.05).all():
+            continue
+        if (cc[:, 2] > 0.05).all():
+            px = (cc[:, 0] / cc[:, 2] * _INTR[0] + _INTR[2]) * w
+            py = (cc[:, 1] / cc[:, 2] * _INTR[1] + _INTR[3]) * h
+            x0 = max(0, int(np.floor(px.min())) - 1)
+            x1 = min(w, int(np.ceil(px.max())) + 1)
+            y0 = max(0, int(np.floor(py.min())) - 1)
+            y1 = min(h, int(np.ceil(py.max())) + 1)
+            if x0 >= x1 or y0 >= y1:
+                continue
+        else:  # straddles the image plane — no safe bbox
+            x0, x1, y0, y1 = 0, w, 0, h
+        d_w = row_dir[y0:y1, None, :] + col_dir[None, x0:x1, :]  # [bh,bw,3]
+        n = p["n"].astype(np.float32)
+        denom = d_w @ n
+        denom = np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+        z = ((p["p0"].astype(np.float32) - C) @ n) / denom  # camera-z
+        hit = C + z[..., None] * d_w - p["p0"].astype(np.float32)
+        # solve [u,v] against the (eu, ev) Gram system
+        g11 = p["eu"] @ p["eu"]
+        g12 = p["eu"] @ p["ev"]
+        g22 = p["ev"] @ p["ev"]
+        inv_det = 1.0 / (g11 * g22 - g12 * g12)
+        hu = hit @ p["eu"].astype(np.float32)
+        hv = hit @ p["ev"].astype(np.float32)
+        u = (g22 * hu - g12 * hv) * inv_det
+        v = (g11 * hv - g12 * hu) * inv_det
+        ok = (z > 0.05) & (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1) \
+            & (z < best_z[y0:y1, x0:x1])
+        if not ok.any():
+            continue
+        if want_image:
+            img[y0:y1, x0:x1][ok] = _sample_texture(p["tex"], u[ok], v[ok])
+        best_z[y0:y1, x0:x1][ok] = z[ok]
+    depth = best_z
+    if ss > 1:
+        img = img.reshape(height, ss, width, ss, 3).mean(axis=(1, 3))
+        depth = depth[ss // 2::ss, ss // 2::ss]
+    # rays that missed everything (numerical slivers): far background
+    miss = ~np.isfinite(depth)
+    if miss.any():
+        depth = np.where(miss, np.nanmax(np.where(miss, np.nan, depth)),
+                         depth)
+    return img.astype(np.float32), depth.astype(np.float32)
+
+
+def make_scene_layered(rng: np.random.RandomState, height: int = 192,
+                       width: int = 256, n_views: int = 2,
+                       max_rotation: float = 0.08,
+                       baseline_range: Tuple[float, float] = (0.08, 0.45),
+                       n_patches_range: Tuple[int, int] = (6, 14),
+                       depth_range: Tuple[float, float] = (1.0, 3.5),
+                       bg_depth_range: Tuple[float, float] = (4.0, 7.0),
+                       supersample: int = 2) -> List[View]:
+    """A true 3D layered scene rendered from a chain of `n_views` cameras.
+
+    Foreground: textured planar patches at depths `depth_range` facing
+    roughly toward camera 1; background: a large tilted textured plane at
+    `bg_depth_range`. Consecutive cameras differ by a rotation of up to
+    `max_rotation` rad and a baseline drawn from `baseline_range` — so
+    both occlusion (patches sliding over the background) and translation
+    direction (strong texture gradients at many depths) are represented.
+    """
+    # background plane
+    z_bg = rng.uniform(*bg_depth_range)
+    bg_n = np.array([rng.uniform(-0.25, 0.25), rng.uniform(-0.25, 0.25),
+                     -1.0])
+    patches = [_make_patch(np.array([0.0, 0.0, z_bg]), bg_n,
+                           8.0 * z_bg, 8.0 * z_bg, rng)]
+    # foreground patches, centers inside camera-1's frustum
+    for _ in range(rng.randint(*n_patches_range)):
+        z = rng.uniform(*depth_range)
+        half_x = 0.5 / _INTR[0] * z * 0.85
+        half_y = 0.5 / _INTR[1] * z * 0.85
+        c = np.array([rng.uniform(-half_x, half_x),
+                      rng.uniform(-half_y, half_y), z])
+        n = np.array([rng.uniform(-0.4, 0.4), rng.uniform(-0.4, 0.4), -1.0])
+        size = rng.uniform(0.18, 0.55) * z
+        patches.append(_make_patch(c, n, size,
+                                   size * rng.uniform(0.6, 1.6), rng))
+
+    # camera chain: view 0 at identity; each next view = small motion
+    Rs, ts = [np.eye(3)], [np.zeros(3)]
+    for _ in range(1, n_views):
+        aa = rng.randn(3)
+        aa = aa / (np.linalg.norm(aa) + 1e-12) \
+            * rng.uniform(0.2, 1.0) * max_rotation
+        R_step = hg.angleaxis_to_rotation_matrix(aa)
+        t_step = rng.randn(3)
+        t_step = t_step / np.linalg.norm(t_step) \
+            * rng.uniform(*baseline_range)
+        Rs.append(R_step @ Rs[-1])
+        ts.append(R_step @ ts[-1] + t_step)
+
+    K = np.array([[_INTR[0] * width, 0, _INTR[2] * width],
+                  [0, _INTR[1] * height, _INTR[3] * height],
+                  [0, 0, 1.0]])
+    views = []
+    for R, t in zip(Rs, ts):
+        img, _ = _raycast(patches, R, t, height, width, ss=supersample)
+        _, depth = _raycast(patches, R, t, height, width, ss=1,
+                            want_image=False)
+        views.append(View(
+            R=R, t=t, K=K,
+            image=np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8),
+            depth=depth, depth_metric="camera_z"))
+    return views
+
+
+def _chain_pairs(n_views: int) -> np.ndarray:
+    """Both directions of consecutive and skip-one pairs along the chain."""
+    pairs = []
+    for i in range(n_views - 1):
+        pairs += [(i, i + 1), (i + 1, i)]
+    for i in range(n_views - 2):
+        pairs += [(i, i + 2), (i + 2, i)]
+    return np.asarray(pairs, np.int32).reshape(-1)
+
+
 def write_dataset(path: str, n_scenes: int, seed: int = 0,
                   height: int = 192, width: int = 256,
                   verbose: bool = False,
                   max_rotation: float = 0.08,
-                  baseline_range: Tuple[float, float] = (0.05, 0.25)) -> str:
-    """Write an h5 source of `n_scenes` synthetic scenes (pair (v0, v1)
-    each). Idempotent: returns immediately if the file exists.
+                  baseline_range: Tuple[float, float] = (0.05, 0.25),
+                  style: str = "smooth", n_views: int = 2) -> str:
+    """Write an h5 source of `n_scenes` synthetic scenes. Idempotent:
+    returns immediately if the file exists.
+
+    style="smooth": the original occlusion-free warped-noise pairs.
+    style="layered": ray-cast 3D scenes (make_scene_layered) with true
+    occlusion, hard depth discontinuities, high-frequency texture, and
+    `n_views` cameras per scene (pairs via the viewpoint_pairs attr,
+    multivih5datareaderop/README.md:219-224 semantics).
 
     baseline_range controls the translation-direction conditioning: after
     the reader's ||t||=1 normalization the baseline/depth ratio is the
@@ -148,17 +368,27 @@ def write_dataset(path: str, n_scenes: int, seed: int = 0,
 
     if os.path.isfile(path):
         return path
+    if style not in ("smooth", "layered"):
+        raise ValueError(f"unknown style {style!r}")
     rng = np.random.RandomState(seed)
     tmp = path + ".tmp"
     with h5py.File(tmp, "w") as f:
         for s in range(n_scenes):
-            v1, v2 = make_scene(rng, height, width,
-                                max_rotation=max_rotation,
-                                baseline_range=baseline_range)
+            if style == "layered":
+                views = make_scene_layered(
+                    rng, height, width, n_views=n_views,
+                    max_rotation=max_rotation,
+                    baseline_range=baseline_range)
+                pairs = _chain_pairs(len(views))
+            else:
+                views = make_scene(rng, height, width,
+                                   max_rotation=max_rotation,
+                                   baseline_range=baseline_range)
+                pairs = np.array([0, 1], np.int32)
             g = f"scene{s:05d}/frames/t0"
-            write_view(f.require_group(f"{g}/v0"), v1)
-            write_view(f.require_group(f"{g}/v1"), v2)
-            f[g].attrs["viewpoint_pairs"] = np.array([0, 1], np.int32)
+            for i, v in enumerate(views):
+                write_view(f.require_group(f"{g}/v{i}"), v)
+            f[g].attrs["viewpoint_pairs"] = pairs
             if verbose and (s + 1) % 100 == 0:
                 print(f"  {s + 1}/{n_scenes} scenes", flush=True)
     os.replace(tmp, path)

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +55,35 @@ REPLAY_GT_KEYS = ("flow2", "flow5", "flow2_sig", "depth2", "depth2_sig",
                   "normal2", "rotation", "translation")
 
 _K = 1000
+
+
+class ParamsEmaState(NamedTuple):
+    """State of _params_ema: the EMA shadow of the trainable params."""
+
+    ema: Any
+
+
+def _params_ema(decay: float) -> optax.GradientTransformation:
+    """Terminal chain link that tracks an EMA of the *post-update*
+    parameters in its state. The updates pass through unchanged, so it
+    never alters training; the shadow tree rides the optimizer state and
+    is therefore checkpointed/restored with it for free."""
+
+    def init_fn(params):
+        # must COPY: aliasing the live params buffers would make the jitted
+        # step donate the same buffer twice (params + opt_state)
+        return ParamsEmaState(ema=jax.tree.map(jnp.copy, params))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("_params_ema needs the current params")
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree.map(
+            lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+            state.ema, new_params)
+        return updates, ParamsEmaState(ema=ema)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,6 +122,15 @@ class TrainConfig:
     l2_regularizer: float = 0.0004
     grad_clip: float = 100.0
     adam_eps: float = 1e-6
+    # Production niceties with no reference counterpart (both default off):
+    # ema_decay > 0 maintains an exponential moving average of the
+    # trainable parameters inside the optimizer state (checkpointed with
+    # it); read it back with EvolutionTrainer.ema_params(opt_state).
+    ema_decay: float = 0.0
+    # accum_steps > 1 accumulates gradients over N micro-batches before
+    # each optimizer update (optax.MultiSteps) — the >HBM-batch recipe.
+    # The LR schedule and max_iter then count *effective* updates.
+    accum_steps: int = 1
 
     def batch_for(self, evo: str) -> int:
         return self.batch_size_iterative if evo >= "4_iterative" else self.batch_size
@@ -194,11 +232,36 @@ class EvolutionTrainer:
         cfg = self.config
         lr = partial(demon_lr_schedule, base_lr=cfg.base_lr[evo],
                      max_iter=cfg.max_iter[evo])
-        return optax.chain(
+        links = [
             optax.clip(cfg.grad_clip),
             optax.scale_by_adam(eps=cfg.adam_eps),
             optax.scale_by_learning_rate(lr),
-        )
+        ]
+        if cfg.ema_decay:
+            links.append(_params_ema(cfg.ema_decay))
+        tx = optax.chain(*links)
+        if cfg.accum_steps > 1:
+            ms = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
+            tx = optax.GradientTransformation(ms.init, ms.update)
+        return tx
+
+    def ema_params(self, opt_state):
+        """The EMA parameter tree kept by _params_ema inside `opt_state`,
+        or None when config.ema_decay == 0."""
+        found = []
+
+        def visit(s):
+            if isinstance(s, ParamsEmaState):
+                found.append(s.ema)
+            elif isinstance(s, (tuple, list)):
+                for c in s:
+                    visit(c)
+            elif isinstance(s, dict):
+                for c in s.values():
+                    visit(c)
+
+        visit(opt_state)
+        return found[0] if found else None
 
     # ------------------------------------------------------------------
     # forward helpers
@@ -507,8 +570,10 @@ class EvolutionTrainer:
             new_replay = self._constrain_replay(new_replay)
             metrics = dict(loss_dict)
             metrics["total_loss"] = total
+            # with accumulation the schedule advances per effective update
             metrics["learning_rate"] = demon_lr_schedule(
-                step.astype(jnp.float32), cfg.base_lr[evo], cfg.max_iter[evo])
+                (step // cfg.accum_steps).astype(jnp.float32),
+                cfg.base_lr[evo], cfg.max_iter[evo])
             return new_params, opt_state, metrics, new_replay
 
         jitted = jax.jit(step_fn, donate_argnums=(0, 1))

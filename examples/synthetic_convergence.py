@@ -151,6 +151,8 @@ def _train_chunked(args, evo: str, cap: int) -> None:
                "--compute-dtype", args.compute_dtype,
                "--baseline", args.baseline,
                "--max-rotation", str(args.max_rotation),
+               "--style", args.style,
+               "--n-views", str(args.n_views),
                "--_train-evo", evo,
                "--_train-until", str(target)]
         r = subprocess.run(cmd)
@@ -191,6 +193,14 @@ def main():
                          "condition translation direction better "
                          "(tools/synthetic.py)")
     ap.add_argument("--max-rotation", type=float, default=0.08)
+    ap.add_argument("--style", default="smooth",
+                    choices=("smooth", "layered"),
+                    help="scene generator: 'smooth' warped-noise pairs or "
+                         "'layered' ray-cast 3D scenes with occlusion, "
+                         "depth discontinuities and sharp texture")
+    ap.add_argument("--n-views", type=int, default=2,
+                    help="cameras per layered scene (pairs multiply via "
+                         "viewpoint_pairs)")
     ap.add_argument("--steps-per-process", type=int, default=0,
                     help="run training in child processes of at most N "
                          "steps each (resuming from recovery snapshots). "
@@ -221,11 +231,13 @@ def main():
     train_h5 = write_dataset(os.path.join(args.out, "synthetic_train.h5"),
                              args.train_scenes, seed=0, verbose=True,
                              max_rotation=args.max_rotation,
-                             baseline_range=baseline)
+                             baseline_range=baseline,
+                             style=args.style, n_views=args.n_views)
     test_h5 = write_dataset(os.path.join(args.out, "synthetic_test.h5"),
                             args.test_scenes, seed=777,
                             max_rotation=args.max_rotation,
-                            baseline_range=baseline)
+                            baseline_range=baseline,
+                            style=args.style, n_views=args.n_views)
     cache_dir = os.path.join(args.out, "cache")
     build_scene_cache(train_h5, cache_dir, 192, 256, verbose=False)
     print("datasets ready", flush=True)

@@ -1,0 +1,137 @@
+"""Optimizer niceties with no reference counterpart (both default-off):
+parameter EMA (TrainConfig.ema_decay) and gradient accumulation
+(TrainConfig.accum_steps, optax.MultiSteps). Verified against manual
+computations on tiny models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from demon_tpu.train.trainer import EvolutionTrainer, TrainConfig
+
+
+def _batch(rng, b, h, w):
+    return {
+        "IMAGE_PAIR": jnp.asarray(rng.rand(b, h, w, 6).astype(np.float32) - 0.5),
+        "MOTION": jnp.asarray(rng.randn(b, 6).astype(np.float32) * 0.1),
+        "DEPTH": jnp.asarray(rng.uniform(0.3, 2.0, (b, h, w, 1)).astype(np.float32)),
+        "INTRINSICS": jnp.asarray(
+            np.tile(np.array([[0.89, 1.19, 0.5, 0.5]], np.float32), (b, 1))),
+    }
+
+
+def _params(trainer, scale=0.05):
+    shapes = jax.eval_shape(trainer.init_params, jax.random.key(0))
+    host = np.random.RandomState(0)
+    return jax.tree.map(
+        lambda s: jnp.asarray(
+            (host.standard_normal(s.shape) * scale).astype(s.dtype)), shapes)
+
+
+def test_ema_tracks_post_update_params():
+    h = w = 64
+    decay = 0.5
+    cfg = TrainConfig(height=h, width=w, batch_size=2, ema_decay=decay)
+    tr = EvolutionTrainer(cfg)
+    params = _params(tr)
+    evo = "0_flow1"
+    opt = tr.init_opt_state(evo, params)
+    assert tr.ema_params(opt) is not None
+    step_fn = tr.make_train_step(evo)
+    rng = np.random.RandomState(1)
+
+    # manual EMA over two steps, seeded at p0 (trainable nets only);
+    # snapshot to host first — the step donates its params buffers
+    expected = jax.tree.map(np.asarray, {"netFlow1": params["netFlow1"]})
+    p, o = params, opt
+    for s in range(2):
+        p, o, metrics, _ = step_fn(p, o, _batch(rng, 2, h, w),
+                                   jnp.asarray(s, jnp.int32), None)
+        expected = jax.tree.map(
+            lambda e, q: e * decay + np.asarray(q) * (1 - decay),
+            expected, {"netFlow1": p["netFlow1"]})
+    ema = tr.ema_params(o)
+    assert set(ema.keys()) == {"netFlow1"}  # only the trainable net
+    a = jax.tree_util.tree_leaves(ema)
+    b = jax.tree_util.tree_leaves(expected)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)
+    # EMA differs from the live params (it lags by construction)
+    diffs = [float(jnp.abs(x - y).max()) for x, y in zip(
+        a, jax.tree_util.tree_leaves({"netFlow1": p["netFlow1"]}))]
+    assert max(diffs) > 0
+
+
+def test_ema_disabled_by_default():
+    cfg = TrainConfig(height=64, width=64, batch_size=2)
+    tr = EvolutionTrainer(cfg)
+    opt = tr.init_opt_state("0_flow1", _params(tr))
+    assert tr.ema_params(opt) is None
+
+
+def test_grad_accumulation_updates_every_k():
+    h = w = 64
+    cfg = TrainConfig(height=h, width=w, batch_size=2, accum_steps=2)
+    tr = EvolutionTrainer(cfg)
+    params = _params(tr)
+    evo = "0_flow1"
+    opt = tr.init_opt_state(evo, params)
+    step_fn = tr.make_train_step(evo)
+    rng = np.random.RandomState(2)
+
+    p0_host = jax.tree.map(np.asarray, params)  # step donates buffers
+    p1, o1, m1, _ = step_fn(params, opt, _batch(rng, 2, h, w),
+                            jnp.asarray(0, jnp.int32), None)
+    # mid-accumulation: parameters must be bit-identical
+    p1_host = jax.tree.map(np.asarray, p1)
+    for x, y in zip(jax.tree_util.tree_leaves(p0_host),
+                    jax.tree_util.tree_leaves(p1_host)):
+        np.testing.assert_array_equal(x, y)
+    p2, o2, m2, _ = step_fn(p1, o1, _batch(rng, 2, h, w),
+                            jnp.asarray(1, jnp.int32), None)
+    # boundary: the accumulated update applies
+    changed = any(
+        float(np.abs(x - np.asarray(y)).max()) > 0
+        for x, y in zip(jax.tree_util.tree_leaves(p1_host["netFlow1"]),
+                        jax.tree_util.tree_leaves(p2["netFlow1"])))
+    assert changed
+    assert np.isfinite(float(m2["total_loss"]))
+
+
+def test_grad_accumulation_matches_large_batch():
+    """k micro-batches of size b must produce the same first update as one
+    batch of size k*b (the whole point of accumulation)."""
+    h = w = 64
+    rng = np.random.RandomState(3)
+    big = _batch(rng, 4, h, w)
+    micro1 = {k: v[:2] for k, v in big.items()}
+    micro2 = {k: v[2:] for k, v in big.items()}
+    evo = "0_flow1"
+
+    cfg_big = TrainConfig(height=h, width=w, batch_size=4)
+    tr_big = EvolutionTrainer(cfg_big)
+    params_host = jax.tree.map(np.asarray, _params(tr_big))
+    fresh = lambda: jax.tree.map(jnp.asarray, params_host)  # steps donate
+    step_big = tr_big.make_train_step(evo)
+    params = fresh()
+    p_big, *_ = step_big(params, tr_big.init_opt_state(evo, params), big,
+                         jnp.asarray(0, jnp.int32), None)
+
+    cfg_acc = TrainConfig(height=h, width=w, batch_size=2, accum_steps=2)
+    tr_acc = EvolutionTrainer(cfg_acc)
+    step_acc = tr_acc.make_train_step(evo)
+    params = fresh()
+    o = tr_acc.init_opt_state(evo, params)
+    p, o, *_ = step_acc(params, o, micro1, jnp.asarray(0, jnp.int32), None)
+    p, o, *_ = step_acc(p, o, micro2, jnp.asarray(1, jnp.int32), None)
+
+    # MultiSteps averages micro-grads; DeMoN's losses are batch means, so
+    # the two paths see the same gradient up to fp reassociation. Adam's
+    # first step normalizes to sign(g)*lr, so elements whose gradient is
+    # ~0 can flip sign on rounding noise — tolerate a <0.1% tail.
+    for x, y in zip(jax.tree_util.tree_leaves(p_big["netFlow1"]),
+                    jax.tree_util.tree_leaves(p["netFlow1"])):
+        x, y = np.asarray(x), np.asarray(y)
+        bad = np.abs(x - y) > 2e-5 + 2e-3 * np.abs(y)
+        assert bad.mean() < 1e-3, (bad.sum(), x.size)
