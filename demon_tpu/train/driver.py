@@ -137,6 +137,9 @@ class TrainingDriver:
         max_iter = cfg.max_iter[evo]
         if self.max_steps is not None:
             max_iter = min(max_iter, self.max_steps)
+        # max_iter counts optimizer updates; with gradient accumulation
+        # each update consumes accum_steps micro-batches
+        max_iter *= cfg.accum_steps
 
         params, opt_state, start_step = self._initial_params(evo)
         params = self.trainer.shard_params(params)

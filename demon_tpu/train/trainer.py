@@ -554,11 +554,15 @@ class EvolutionTrainer:
             replay = self._constrain_replay(replay)
             b, gt = prepare(batch)
             frozen = {k: v for k, v in params.items() if k not in trainable_names}
+            # schedules (loss-weight ramps, LR) count optimizer updates;
+            # with gradient accumulation `step` counts micro-batches
+            # (guarded so accum_steps=1 keeps the cached jaxpr unchanged)
+            eff_step = step // cfg.accum_steps if cfg.accum_steps > 1 else step
 
             def loss_fn(trainable):
                 full = {**frozen, **trainable}
                 total, loss_dict, new_replay = self._evolution_losses(
-                    evo, full, b, gt, step, replay)
+                    evo, full, b, gt, eff_step, replay)
                 return total, (loss_dict, new_replay)
 
             trainable = {k: params[k] for k in trainable_names}
@@ -570,9 +574,8 @@ class EvolutionTrainer:
             new_replay = self._constrain_replay(new_replay)
             metrics = dict(loss_dict)
             metrics["total_loss"] = total
-            # with accumulation the schedule advances per effective update
             metrics["learning_rate"] = demon_lr_schedule(
-                (step // cfg.accum_steps).astype(jnp.float32),
+                eff_step.astype(jnp.float32),
                 cfg.base_lr[evo], cfg.max_iter[evo])
             return new_params, opt_state, metrics, new_replay
 

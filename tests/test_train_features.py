@@ -99,6 +99,28 @@ def test_grad_accumulation_updates_every_k():
     assert np.isfinite(float(m2["total_loss"]))
 
 
+def test_accumulation_schedules_count_effective_updates():
+    """LR and loss-weight ramps advance once per optimizer update, not
+    once per micro-batch: the logged LR must be constant inside an
+    accumulation window and equal to the no-accum step-0 value."""
+    h = w = 64
+    cfg = TrainConfig(height=h, width=w, batch_size=2, accum_steps=3)
+    tr = EvolutionTrainer(cfg)
+    params = _params(tr)
+    evo = "0_flow1"
+    o = tr.init_opt_state(evo, params)
+    step_fn = tr.make_train_step(evo)
+    rng = np.random.RandomState(4)
+    lrs = []
+    p = params
+    for s in range(3):
+        p, o, m, _ = step_fn(p, o, _batch(rng, 2, h, w),
+                             jnp.asarray(s, jnp.int32), None)
+        lrs.append(float(m["learning_rate"]))
+    assert lrs[0] == lrs[1] == lrs[2]
+    assert lrs[0] == np.float32(cfg.base_lr[evo])
+
+
 def test_grad_accumulation_matches_large_batch():
     """k micro-batches of size b must produce the same first update as one
     batch of size k*b (the whole point of accumulation)."""
