@@ -263,6 +263,13 @@ class EvolutionTrainer:
         visit(opt_state)
         return found[0] if found else None
 
+    def eval_params(self, params, opt_state):
+        """Params for evaluation/serving: the live tree with the EMA
+        shadow substituted for the nets it covers (the evolution's
+        trainable nets). Identity when config.ema_decay == 0."""
+        ema = self.ema_params(opt_state)
+        return {**params, **ema} if ema is not None else params
+
     # ------------------------------------------------------------------
     # forward helpers
     # ------------------------------------------------------------------

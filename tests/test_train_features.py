@@ -66,8 +66,25 @@ def test_ema_tracks_post_update_params():
 def test_ema_disabled_by_default():
     cfg = TrainConfig(height=64, width=64, batch_size=2)
     tr = EvolutionTrainer(cfg)
-    opt = tr.init_opt_state("0_flow1", _params(tr))
+    params = _params(tr)
+    opt = tr.init_opt_state("0_flow1", params)
     assert tr.ema_params(opt) is None
+    assert tr.eval_params(params, opt) is params
+
+
+def test_eval_params_substitutes_ema():
+    cfg = TrainConfig(height=64, width=64, batch_size=2, ema_decay=0.9)
+    tr = EvolutionTrainer(cfg)
+    params = _params(tr)
+    opt = tr.init_opt_state("0_flow1", params)
+    merged = tr.eval_params(params, opt)
+    # netFlow1 (trainable in evo 0) comes from the EMA shadow, the
+    # frozen nets stay the live tree
+    assert merged["netDM1"] is params["netDM1"]
+    ema = tr.ema_params(opt)
+    for a, b in zip(jax.tree_util.tree_leaves(merged["netFlow1"]),
+                    jax.tree_util.tree_leaves(ema["netFlow1"])):
+        assert a is b
 
 
 def test_grad_accumulation_updates_every_k():
