@@ -337,17 +337,21 @@ class _SceneProducer(threading.Thread):
                 yield e
 
     def _group_iter(self, src_idx: int):
-        """Infinite (file, group) generator for one source; shuffled in
-        train, sorted in test (reference Source::advance,
-        multivih5datareader.cpp:803-838)."""
+        """Infinite (file_idx, file, group) generator for one source;
+        shuffled in train, sorted in test (reference Source::advance,
+        multivih5datareader.cpp:803-838). Yields the per-OCCURRENCE file
+        index (a ';'-joined source may repeat a path for deliberate
+        oversampling — each occurrence is its own shard unit, matching
+        count_sample_groups and the cached path)."""
         import h5py
 
-        paths = list(self._h5_paths[src_idx])
+        order = list(range(len(self._h5_paths[src_idx])))
         if not self.params.test_phase:
-            self.rng.shuffle(paths)
+            self.rng.shuffle(order)
         p = self.params
         while True:
-            for path in paths:
+            for fi in order:
+                path = self._h5_paths[src_idx][fi]
                 with h5py.File(path, "r") as f:
                     groups = sorted(k for k in f.keys()
                                     if not k.startswith("."))
@@ -357,7 +361,7 @@ class _SceneProducer(threading.Thread):
                     if not p.test_phase:
                         self.rng.shuffle(groups)
                     for g in groups:
-                        yield path, f, g
+                        yield fi, f, g
 
     def run(self):
         try:
@@ -407,10 +411,11 @@ class _SceneProducer(threading.Thread):
             scene.source_id = src_idx
             scene.prepared = True
             return scene
-        path, f, group = next(self._group_iters[src_idx])
+        file_idx, f, group = next(self._group_iters[src_idx])
         self.iteration += 1
         scene = _Scene(group, src_idx)
-        scene.file_idx = self._h5_paths[src_idx].index(path)
+        scene.file_idx = file_idx
+        path = self._h5_paths[src_idx][file_idx]
 
         t0 = f[group]["frames"]["t0"]
         vp_names = sorted(t0.keys(), key=lambda s: int(s[1:]))

@@ -191,14 +191,16 @@ class DemonEngine:
             depth2 = jax.device_put(
                 depth2, spatial_sharding(mesh, jnp.ndim(depth2)))
             # replicating the parameter tree moves tens of MB host->mesh;
-            # cache it so a per-frame refinement loop pays it once
-            key = (id(params["refinement"]), mesh)
+            # cache it so a per-frame refinement loop pays it once. The
+            # cache retains the keyed tree itself: an id()-only key could
+            # alias a new dict allocated at a recycled address and serve
+            # stale weights
+            ref = params["refinement"]
             cached = getattr(self, "_refine_replicated", None)
-            if cached is None or cached[0] != key:
-                cached = (key,
-                          replicate_pytree(params["refinement"], mesh))
+            if cached is None or cached[0] is not ref or cached[1] != mesh:
+                cached = (ref, mesh, replicate_pytree(ref, mesh))
                 self._refine_replicated = cached
-            params = {"refinement": cached[1]}
+            params = {"refinement": cached[2]}
         return self._jit_refine(params["refinement"], image1, depth2)
 
 

@@ -86,22 +86,44 @@ def recv_message(sock: socket.socket) -> Dict[str, np.ndarray]:
     (hlen,) = struct.unpack("<I", _recv_exact(sock, 4))
     if hlen > _MAX_HEADER:
         raise ConnectionError(f"header too large ({hlen} bytes)")
-    header = json.loads(_recv_exact(sock, hlen).decode("utf-8"))
-    if "error" in header:
+    try:
+        header = json.loads(_recv_exact(sock, hlen).decode("utf-8"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise ConnectionError(f"malformed header: {e}") from None
+    if isinstance(header, dict) and "error" in header:
         raise RuntimeError(f"server error: {header['error']}")
-    total = 0
-    for item in header["arrays"]:
-        total += int(np.prod(item["shape"], dtype=np.int64)) * \
-            np.dtype(item["dtype"]).itemsize
-    if total > _MAX_PAYLOAD:
-        raise ConnectionError(f"payload too large ({total} bytes)")
+    # validate everything the peer declared BEFORE trusting it: a
+    # negative or overflowing shape product must not bypass the payload
+    # bound, and a bad entry must surface as a clean connection error,
+    # not an uncaught traceback in the handler thread
+    items = header.get("arrays") if isinstance(header, dict) else None
+    if not isinstance(items, list):
+        raise ConnectionError("malformed header: no 'arrays' list")
+    parsed, total = [], 0
+    for item in items:
+        try:
+            name = item["name"]
+            shape = tuple(int(d) for d in item["shape"])
+            dt = np.dtype(str(item["dtype"]))
+        except (TypeError, KeyError, ValueError) as e:
+            raise ConnectionError(f"malformed array header: {e}") from None
+        if not isinstance(name, str) or dt.kind not in "biufc":
+            raise ConnectionError(f"malformed array header entry {name!r}")
+        n = dt.itemsize
+        for d in shape:
+            if d < 0:
+                raise ConnectionError(f"negative dimension in {name!r}")
+            n *= d
+            if n > _MAX_PAYLOAD:
+                raise ConnectionError(f"payload too large ({name!r})")
+        total += n
+        if total > _MAX_PAYLOAD:
+            raise ConnectionError(f"payload too large ({total} bytes)")
+        parsed.append((name, shape, dt, n))
     payload = _recv_exact(sock, total)
     out, off = {}, 0
-    for item in header["arrays"]:
-        dt = np.dtype(item["dtype"])
-        shape = tuple(item["shape"])
-        n = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
-        out[item["name"]] = np.frombuffer(
+    for name, shape, dt, n in parsed:
+        out[name] = np.frombuffer(
             payload[off:off + n], dt).reshape(shape).copy()
         off += n
     return out

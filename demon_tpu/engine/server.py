@@ -129,35 +129,54 @@ class DemonServer:
     def _dispatch_loop(self):
         import time
 
+        stashed: list = []  # shape stragglers, lead the next batch
         while not self._closed.is_set():
-            try:
-                first = self._queue.get(timeout=0.05)
-            except queue.Empty:
-                continue
+            if stashed:
+                first = stashed.pop(0)
+            else:
+                try:
+                    first = self._queue.get(timeout=0.05)
+                except queue.Empty:
+                    continue
             batch = [first]
+            shapes = (first.image_pair.shape, first.image2_2.shape)
             deadline = time.monotonic() + self.max_wait
             while len(batch) < self.max_batch:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break
                 try:
-                    batch.append(self._queue.get(timeout=remaining))
+                    req = self._queue.get(timeout=remaining)
                 except queue.Empty:
                     break
+                # co-batch only identical shapes: a stale request admitted
+                # under a since-rolled-back tentative pin must fail alone,
+                # never the well-formed batch it would be stacked with
+                if (req.image_pair.shape, req.image2_2.shape) == shapes:
+                    batch.append(req)
+                else:
+                    stashed.append(req)
             try:
                 self._run_batch(batch)
                 with self._shape_lock:
-                    self._shapes_confirmed = True
+                    if self._shapes == shapes:
+                        self._shapes_confirmed = True
             except BaseException as e:  # surface to callers
                 with self._shape_lock:
-                    if not self._shapes_confirmed:
+                    if not self._shapes_confirmed and self._shapes == shapes:
                         # the pinning batch itself failed (e.g. resolution
                         # the engine can't run) — unpin so well-formed
-                        # requests aren't rejected against a bad pin
+                        # requests aren't rejected against a bad pin.
+                        # (only if THIS batch carries the pinned shape: a
+                        # stale-shape batch failing must not clear a good
+                        # tentative pin)
                         self._shapes = None
                 for req in batch:
                     if not req.future.done():
                         req.future.set_exception(e)
+        for req in stashed:  # fail stragglers on close
+            if not req.future.done():
+                req.future.set_exception(RuntimeError("server closed"))
 
     def _bucket(self, n: int) -> int:
         b = self._min_bucket

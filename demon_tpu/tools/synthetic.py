@@ -200,6 +200,10 @@ def _make_patch(center: np.ndarray, normal: np.ndarray, size_u: float,
             "tex": _patch_texture(rng)}
 
 
+class _EmptyRender(Exception):
+    """Raised by _raycast when every ray misses the scene."""
+
+
 def _raycast(patches: List[dict], R: np.ndarray, t: np.ndarray,
              height: int, width: int, ss: int = 1, want_image: bool = True
              ) -> Tuple[np.ndarray, np.ndarray]:
@@ -263,9 +267,13 @@ def _raycast(patches: List[dict], R: np.ndarray, t: np.ndarray,
         depth = depth[ss // 2::ss, ss // 2::ss]
     # rays that missed everything (numerical slivers): far background
     miss = ~np.isfinite(depth)
+    if miss.all():
+        # a camera that sees no geometry (possible with extreme
+        # --max-rotation chains) — let the caller redraw the scene
+        # instead of silently writing an all-NaN depth map
+        raise _EmptyRender()
     if miss.any():
-        depth = np.where(miss, np.nanmax(np.where(miss, np.nan, depth)),
-                         depth)
+        depth = np.where(miss, depth[~miss].max(), depth)
     return img.astype(np.float32), depth.astype(np.float32)
 
 
@@ -285,7 +293,26 @@ def make_scene_layered(rng: np.random.RandomState, height: int = 192,
     `max_rotation` rad and a baseline drawn from `baseline_range` — so
     both occlusion (patches sliding over the background) and translation
     direction (strong texture gradients at many depths) are represented.
+
+    If an extreme motion chain points a camera entirely away from the
+    scene (all rays miss), the whole scene is redrawn — every returned
+    view has full depth coverage.
     """
+    for _ in range(32):
+        try:
+            return _make_scene_layered_once(
+                rng, height, width, n_views, max_rotation, baseline_range,
+                n_patches_range, depth_range, bg_depth_range, supersample)
+        except _EmptyRender:
+            continue
+    raise RuntimeError(
+        "make_scene_layered: 32 consecutive empty renders — "
+        "max_rotation/baseline_range leave cameras facing no geometry")
+
+
+def _make_scene_layered_once(rng, height, width, n_views, max_rotation,
+                             baseline_range, n_patches_range, depth_range,
+                             bg_depth_range, supersample) -> List[View]:
     # background plane
     z_bg = rng.uniform(*bg_depth_range)
     bg_n = np.array([rng.uniform(-0.25, 0.25), rng.uniform(-0.25, 0.25),

@@ -137,9 +137,18 @@ class TrainingDriver:
         max_iter = cfg.max_iter[evo]
         if self.max_steps is not None:
             max_iter = min(max_iter, self.max_steps)
-        # max_iter counts optimizer updates; with gradient accumulation
-        # each update consumes accum_steps micro-batches
-        max_iter *= cfg.accum_steps
+        # max_iter and the *_interval knobs count optimizer updates; with
+        # gradient accumulation each update consumes accum_steps
+        # micro-batches, so scale the micro-step loop bounds accordingly.
+        # (Checkpoint step numbers and the displayed step remain
+        # micro-steps — resume granularity — while metrics.jsonl also
+        # logs the effective 'update'.)
+        k = cfg.accum_steps
+        max_iter *= k
+        display_interval = self.display_interval * k
+        saver_interval = self.saver_interval * k
+        recovery_interval = self.recovery_interval * k
+        check_numerics_interval = self.check_numerics_interval * k
 
         params, opt_state, start_step = self._initial_params(evo)
         params = self.trainer.shard_params(params)
@@ -147,7 +156,7 @@ class TrainingDriver:
             opt_state = self.trainer.init_opt_state(evo, params)
         step_fn = self.trainer.make_train_step(evo)
         ck = EvolutionCheckpointer(self.train_dir, evo,
-                                   keep_period=self.saver_interval)
+                                   keep_period=saver_interval)
         logger = MetricsLogger(
             os.path.join(self.train_dir, evo, "metrics.jsonl"))
 
@@ -173,11 +182,11 @@ class TrainingDriver:
                     jnp.asarray(step, jnp.int32), replay)
                 step += 1
 
-                if step % self.display_interval == 0:
+                if step % display_interval == 0:
                     total = float(metrics["total_loss"])
                     dt = time.time() - t_last
                     t_last = time.time()
-                    rate = self.display_interval * cfg.batch_for(evo) / dt
+                    rate = display_interval * cfg.batch_for(evo) / dt
                     print(f"[{evo}] step {step}/{max_iter} "
                           f"loss={total:.4f} "
                           f"lr={float(metrics['learning_rate']):.2e} "
@@ -187,6 +196,7 @@ class TrainingDriver:
                     info = reader.info
                     logger.log(step, {
                         **metrics,
+                        **({"update": step // k} if k > 1 else {}),
                         "samples_per_s": rate,
                         "reader_batch_buffer": float(info[1]),
                         "reader_scene_buffer": float(info[3]),
@@ -194,10 +204,10 @@ class TrainingDriver:
                     if not np.isfinite(total):
                         raise FloatingPointError(
                             f"non-finite total loss at step {step}")
-                if step % self.check_numerics_interval == 0:
+                if step % check_numerics_interval == 0:
                     check_numerics(params, f"params@{step}")
-                if (step % self.saver_interval == 0
-                        or step % self.recovery_interval == 0
+                if (step % saver_interval == 0
+                        or step % recovery_interval == 0
                         or step == max_iter):
                     # one manager, two retention classes: steps at
                     # saver_interval multiples are kept forever

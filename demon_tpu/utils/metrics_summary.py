@@ -81,7 +81,7 @@ def main():
     name_w = max(len(r["evolution"]) for r in rows)
     for r in rows:
         rate = (f"  {r['samples_per_s']:7.1f} samples/s"
-                if r["samples_per_s"] else "")
+                if r["samples_per_s"] is not None else "")
         print(f"{r['evolution']:{name_w}s}  steps {r['steps'][0]:>6}-"
               f"{r['steps'][1]:<6}  {args.key} {r['first']:10.4f} -> "
               f"{r['last']:10.4f} (min {r['min']:10.4f}){rate}")

@@ -426,3 +426,26 @@ def test_cache_multifile_colliding_groups_and_test_phase(tmp_path):
                     for _ in range(reader.test_iterations)]
     # first pair only, reference id format
     assert seen_ids == ["scene00000/frames/t0/v0,v1"]
+
+
+def test_cache_duplicated_path_occurrences_are_distinct_files(tmp_path):
+    """A ';'-joined source may repeat the SAME path for deliberate
+    oversampling; each occurrence is its own shard unit. (A path-value
+    lookup used to collapse both occurrences to file 0, making cached
+    multi-host sharding disagree with the h5 path.)"""
+    from demon_tpu.data.cache import SceneCache, build_scene_cache
+
+    views = _sculpture_views()
+    path = str(tmp_path / "dup.h5")
+    with h5py.File(path, "w") as f:
+        for i, v in enumerate(views):
+            write_view(f.require_group(f"scene00000/frames/t0/v{i}"), v)
+        f["scene00000/frames/t0"].attrs["viewpoint_pairs"] = np.array(
+            [0, 1], np.int32)
+
+    cache_dir = str(tmp_path / "cache")
+    subdir = build_scene_cache(f"{path};{path}", cache_dir, 48, 64,
+                               verbose=False)
+    cache = SceneCache(subdir)
+    assert len(cache) == 2
+    assert sorted(e.get("file") for e in cache.scenes) == [0, 1]

@@ -114,3 +114,47 @@ def test_rpc_error_reply_keeps_connection(tiny):
                 recv_message(client._sock)
             out = client.predict(ip, i22)
             assert np.isfinite(out["depth"]).all()
+
+
+def test_recv_message_rejects_malformed_headers():
+    """Hostile/corrupt headers must fail as clean ConnectionErrors with
+    the declared payload bound enforced — a negative or overflowing
+    shape product must not bypass _MAX_PAYLOAD, and bad dtypes/JSON must
+    not escape as uncaught exceptions."""
+    import json
+    import socket
+    import struct
+
+    from demon_tpu.engine.rpc import _MAGIC, recv_message
+
+    def send_raw(header_obj, payload=b"", raw_header=None):
+        a, b = socket.socketpair()
+        try:
+            hb = raw_header if raw_header is not None \
+                else json.dumps(header_obj).encode()
+            a.sendall(_MAGIC + struct.pack("<I", len(hb)) + hb + payload)
+            a.shutdown(socket.SHUT_WR)
+            with pytest.raises((ConnectionError, EOFError)):
+                recv_message(b)
+        finally:
+            a.close()
+            b.close()
+
+    # negative dimension: np.prod would go negative and pass the bound
+    send_raw({"arrays": [{"name": "x", "shape": [-1, 4],
+                          "dtype": "float32"}]})
+    # int64-overflowing product
+    send_raw({"arrays": [{"name": "x", "shape": [2**40, 2**40],
+                          "dtype": "float32"}]})
+    # unknown dtype name
+    send_raw({"arrays": [{"name": "x", "shape": [2], "dtype": "nope"}]})
+    # object dtype (deserialization gadget surface)
+    send_raw({"arrays": [{"name": "x", "shape": [2], "dtype": "object"}]})
+    # arrays not a list / missing
+    send_raw({"arrays": 7})
+    send_raw([1, 2, 3])
+    # invalid JSON bytes
+    send_raw(None, raw_header=b"\xff\xfe not json")
+    # declared size larger than the 1 GiB cap
+    send_raw({"arrays": [{"name": "x", "shape": [1 << 29],
+                          "dtype": "float64"}]})

@@ -157,6 +157,49 @@ def test_server_failed_pinning_batch_unpins(tiny):
         engine.predict = real_predict
 
 
+def test_server_mixed_shape_queue_isolated(tiny):
+    """Requests of different shapes sitting in the queue together (the
+    rolled-back-tentative-pin window) must never be stacked into one
+    batch: each shape dispatches alone, so a stale bad-shape request
+    fails by itself and a well-formed one still serves."""
+    import queue as _q
+    from concurrent.futures import Future
+
+    from demon_tpu.engine.server import _Request
+
+    engine, params = tiny
+    rng = np.random.RandomState(4)
+    real_predict = engine.predict
+
+    def failing(params_, ip, i22, intr=None):
+        if ip.shape[1] == 32:
+            raise ValueError("unsupported resolution")
+        return real_predict(params_, ip, i22, intr)
+
+    engine.predict = failing
+    try:
+        server = DemonServer(engine, params, max_batch=4, max_wait_ms=100)
+        try:
+            # inject both shapes directly into the dispatcher queue —
+            # emulating requests admitted under a tentative pin that was
+            # rolled back before they dispatched
+            bad = _Request(np.zeros((32, 32, 6), np.float32),
+                           np.zeros((8, 8, 3), np.float32), None, Future())
+            good = _Request(
+                rng.rand(64, 64, 6).astype(np.float32) - 0.5,
+                rng.rand(16, 16, 3).astype(np.float32) - 0.5, None, Future())
+            server._queue.put(bad)
+            server._queue.put(good)
+            with pytest.raises(ValueError):
+                bad.future.result(timeout=300)
+            depth, rot, trans = good.future.result(timeout=300)
+            assert np.isfinite(depth).all()
+        finally:
+            server.close()
+    finally:
+        engine.predict = real_predict
+
+
 def test_server_warmup_covers_non_pow2_max_batch():
     """warmup() must compile the max_batch bucket even when it is not a
     power of two (runtime _bucket dispatches it)."""
