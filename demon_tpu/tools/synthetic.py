@@ -310,26 +310,37 @@ def make_scene_layered(rng: np.random.RandomState, height: int = 192,
         "max_rotation/baseline_range leave cameras facing no geometry")
 
 
-def _make_scene_layered_once(rng, height, width, n_views, max_rotation,
-                             baseline_range, n_patches_range, depth_range,
-                             bg_depth_range, supersample) -> List[View]:
-    # background plane
+def _patch_field(rng: np.random.RandomState,
+                 n_patches_range: Tuple[int, int],
+                 depth_range: Tuple[float, float],
+                 bg_depth_range: Tuple[float, float],
+                 spread: float = 0.85) -> List[dict]:
+    """Textured background plane + foreground patches; `spread` widens
+    the patch-center footprint relative to the reference frustum."""
     z_bg = rng.uniform(*bg_depth_range)
     bg_n = np.array([rng.uniform(-0.25, 0.25), rng.uniform(-0.25, 0.25),
                      -1.0])
     patches = [_make_patch(np.array([0.0, 0.0, z_bg]), bg_n,
                            8.0 * z_bg, 8.0 * z_bg, rng)]
-    # foreground patches, centers inside camera-1's frustum
     for _ in range(rng.randint(*n_patches_range)):
         z = rng.uniform(*depth_range)
-        half_x = 0.5 / _INTR[0] * z * 0.85
-        half_y = 0.5 / _INTR[1] * z * 0.85
+        half_x = 0.5 / _INTR[0] * z * spread
+        half_y = 0.5 / _INTR[1] * z * spread
         c = np.array([rng.uniform(-half_x, half_x),
                       rng.uniform(-half_y, half_y), z])
         n = np.array([rng.uniform(-0.4, 0.4), rng.uniform(-0.4, 0.4), -1.0])
         size = rng.uniform(0.18, 0.55) * z
         patches.append(_make_patch(c, n, size,
                                    size * rng.uniform(0.6, 1.6), rng))
+    return patches
+
+
+def _make_scene_layered_once(rng, height, width, n_views, max_rotation,
+                             baseline_range, n_patches_range, depth_range,
+                             bg_depth_range, supersample) -> List[View]:
+    # background plane + foreground patches in camera-1's frustum
+    patches = _patch_field(rng, n_patches_range, depth_range,
+                           bg_depth_range)
 
     # camera chain: view 0 at identity; each next view = small motion
     Rs, ts = [np.eye(3)], [np.zeros(3)]
@@ -420,3 +431,109 @@ def write_dataset(path: str, n_scenes: int, seed: int = 0,
                 print(f"  {s + 1}/{n_scenes} scenes", flush=True)
     os.replace(tmp, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Trajectory rendering (frames + ground-truth poses for examples/trajectory.py)
+# ---------------------------------------------------------------------------
+
+
+def _look_at(C: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """World-to-camera rotation for a camera at `C` looking at `target`
+    (+z forward, +x right, +y down-ish; world up = +y)."""
+    fwd = target - C
+    fwd = fwd / (np.linalg.norm(fwd) + 1e-12)
+    right = np.cross(np.array([0.0, 1.0, 0.0]), fwd)
+    nr = np.linalg.norm(right)
+    if nr < 1e-6:  # looking straight along world up
+        right = np.array([1.0, 0.0, 0.0])
+    else:
+        right = right / nr
+    down = np.cross(fwd, right)
+    return np.stack([right, down, fwd])  # rows; det = +1
+
+
+def make_trajectory_views(rng: np.random.RandomState, n_frames: int = 40,
+                          height: int = 192, width: int = 256,
+                          baseline_range: Tuple[float, float] = (0.10, 0.22),
+                          lateral_extent: float = 1.6,
+                          rotation_jitter: float = 0.02,
+                          n_patches_range: Tuple[int, int] = (10, 18),
+                          depth_range: Tuple[float, float] = (1.2, 3.5),
+                          bg_depth_range: Tuple[float, float] = (4.5, 7.0),
+                          supersample: int = 2) -> List[View]:
+    """A long smooth camera trajectory over one layered scene.
+
+    Unlike make_scene_layered's free random walk (which would drift out
+    of the patch field over tens of frames), the camera slides along a
+    smoothed lateral path of per-step baselines drawn from
+    `baseline_range`, always re-aimed at the scene center with a small
+    rotation jitter — every frame sees geometry, consecutive frames have
+    stereo baselines DeMoN can triangulate, and loop-scale drift is what
+    the pose graph / BA downstream must correct."""
+    patches = _patch_field(rng, n_patches_range, depth_range,
+                           bg_depth_range, spread=1.3)
+    z_mid = 0.5 * (depth_range[0] + depth_range[1])
+    target = np.array([0.0, 0.0, z_mid])
+
+    # smoothed random-walk directions -> positions with mean reversion
+    steps = rng.randn(n_frames - 1, 3) * np.array([1.0, 0.6, 0.45])
+    k = min(7, max(1, n_frames // 6)) if n_frames > 2 else 1
+    kernel = np.ones(k) / k
+    for c in range(3):
+        steps[:, c] = np.convolve(steps[:, c], kernel, mode="same")
+    C = np.zeros((n_frames, 3))
+    for i in range(1, n_frames):
+        d = steps[i - 1]
+        d = d / (np.linalg.norm(d) + 1e-12) \
+            * rng.uniform(*baseline_range)
+        c_next = C[i - 1] + d
+        # mean-revert so the path stays inside the patch field's view
+        c_next[:2] = np.clip(c_next[:2], -lateral_extent, lateral_extent)
+        c_next[2] = np.clip(c_next[2], -0.8, depth_range[0] * 0.45)
+        C[i] = c_next
+
+    views = []
+    K = np.array([[_INTR[0] * width, 0, _INTR[2] * width],
+                  [0, _INTR[1] * height, _INTR[3] * height],
+                  [0, 0, 1.0]])
+    for i in range(n_frames):
+        R = _look_at(C[i], target)
+        if rotation_jitter > 0:
+            aa = rng.randn(3)
+            aa = aa / (np.linalg.norm(aa) + 1e-12) \
+                * rng.uniform(0, rotation_jitter)
+            R = hg.angleaxis_to_rotation_matrix(aa) @ R
+        t = -R @ C[i]
+        img, _ = _raycast(patches, R, t, height, width, ss=supersample)
+        _, depth = _raycast(patches, R, t, height, width, ss=1,
+                            want_image=False)
+        views.append(View(
+            R=R, t=t, K=K,
+            image=np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8),
+            depth=depth, depth_metric="camera_z"))
+    return views
+
+
+def write_trajectory_frames(out_dir: str, n_frames: int = 40, seed: int = 0,
+                            height: int = 192, width: int = 256,
+                            **kwargs) -> str:
+    """Render a synthetic trajectory into `out_dir`: frame_%04d.png plus
+    poses.txt (Nx12 rows of world-to-camera [R|t], the --gt format of
+    examples/trajectory.py). Idempotent; returns out_dir."""
+    from PIL import Image
+
+    poses_path = os.path.join(out_dir, "poses.txt")
+    if os.path.isfile(poses_path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    views = make_trajectory_views(rng, n_frames, height, width, **kwargs)
+    rows = []
+    for i, v in enumerate(views):
+        Image.fromarray(v.image).save(
+            os.path.join(out_dir, f"frame_{i:04d}.png"))
+        rows.append(np.hstack([v.R, v.t[:, None]]).reshape(12))
+    np.savetxt(poses_path + ".tmp", np.asarray(rows))
+    os.replace(poses_path + ".tmp", poses_path)
+    return out_dir

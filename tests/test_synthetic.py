@@ -120,3 +120,43 @@ def test_write_dataset_layered_reader_roundtrip(tmp_path, style, n_views):
     # depth must be majority-finite (occluded/invalid regions may be NaN)
     finite = np.isfinite(batch["DEPTH"]).mean()
     assert finite > 0.9
+
+
+def test_trajectory_views_consistent_and_bounded():
+    from demon_tpu.tools.synthetic import make_trajectory_views
+
+    rng = np.random.RandomState(9)
+    views = make_trajectory_views(rng, n_frames=8, height=96, width=128)
+    assert len(views) == 8
+    for v in views:
+        # every frame sees geometry (full depth coverage, no empty render)
+        assert np.isfinite(v.depth).all() and (v.depth > 0).all()
+        # rotations orthonormal, det +1
+        np.testing.assert_allclose(v.R @ v.R.T, np.eye(3), atol=1e-9)
+        assert np.linalg.det(v.R) > 0.99
+    # consecutive frames: co-visible, photometrically consistent, with
+    # stereo baselines in the requested range
+    for i in range(7):
+        visible, err = _consistency(views[i], views[i + 1])
+        assert visible > 0.4, (i, visible)
+        assert err < 0.035, (i, err)
+        Ci = -views[i].R.T @ views[i].t
+        Cj = -views[i + 1].R.T @ views[i + 1].t
+        b = np.linalg.norm(Cj - Ci)
+        assert 0.05 < b < 0.3, (i, b)
+
+
+def test_write_trajectory_frames(tmp_path):
+    from demon_tpu.tools.synthetic import write_trajectory_frames
+
+    out = write_trajectory_frames(str(tmp_path / "traj"), n_frames=4,
+                                  seed=1, height=96, width=128)
+    import glob as _glob
+    frames = sorted(_glob.glob(out + "/frame_*.png"))
+    assert len(frames) == 4
+    poses = np.loadtxt(out + "/poses.txt").reshape(-1, 3, 4)
+    assert poses.shape == (4, 3, 4)
+    np.testing.assert_allclose(poses[0, :, :3] @ poses[0, :, :3].T,
+                               np.eye(3), atol=1e-9)
+    # idempotent
+    assert write_trajectory_frames(str(tmp_path / "traj"), n_frames=4) == out
