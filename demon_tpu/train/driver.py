@@ -228,7 +228,7 @@ class TrainingDriver:
             ck.wait()
             ck.close()
             logger.close()
-        return {"params": params, "step": step,
+        return {"params": params, "opt_state": opt_state, "step": step,
                 "metrics": {k: float(v) for k, v in metrics.items()}}
 
     # ------------------------------------------------------------------

@@ -153,6 +153,7 @@ def _train_chunked(args, evo: str, cap: int) -> None:
                "--max-rotation", str(args.max_rotation),
                "--style", args.style,
                "--n-views", str(args.n_views),
+               "--ema", str(args.ema),
                "--_train-evo", evo,
                "--_train-until", str(target)]
         r = subprocess.run(cmd)
@@ -201,6 +202,10 @@ def main():
     ap.add_argument("--n-views", type=int, default=2,
                     help="cameras per layered scene (pairs multiply via "
                          "viewpoint_pairs)")
+    ap.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
+                    help="maintain a parameter EMA (TrainConfig.ema_decay) "
+                         "and evaluate each evolution with the smoothed "
+                         "weights (trainer.eval_params)")
     ap.add_argument("--steps-per-process", type=int, default=0,
                     help="run training in child processes of at most N "
                          "steps each (resuming from recovery snapshots). "
@@ -244,7 +249,8 @@ def main():
 
     cfg = TrainConfig(batch_size=args.batch,
                       batch_size_iterative=args.batch_iterative,
-                      compute_dtype=args.compute_dtype)
+                      compute_dtype=args.compute_dtype,
+                      ema_decay=args.ema)
     engine = DemonEngine(variant=cfg.variant, iterations=3)
     driver = TrainingDriver(
         train_dir=os.path.join(args.out, "training"),
@@ -280,15 +286,24 @@ def main():
             from demon_tpu.train.checkpoint import EvolutionCheckpointer
 
             ck = EvolutionCheckpointer(driver.train_dir, evo)
-            params = ck.restore_params(
-                driver.trainer.init_params(jax.random.key(0)))
+            if args.ema:
+                seed = driver.trainer.init_params(jax.random.key(0))
+                _, restored = ck.restore(
+                    {"params": seed,
+                     "opt_state": driver.trainer.init_opt_state(evo, seed)})
+                params = driver.trainer.eval_params(restored["params"],
+                                                    restored["opt_state"])
+            else:
+                params = ck.restore_params(
+                    driver.trainer.init_params(jax.random.key(0)))
             ck.close()
             final_loss = _last_logged_loss(
                 os.path.join(driver.train_dir, evo, "metrics.jsonl"))
         else:
             driver.max_steps = cap
             out = driver.run_evolution(evo)
-            params = out["params"]
+            params = driver.trainer.eval_params(out["params"],
+                                                out["opt_state"])
             final_loss = out["metrics"].get("total_loss")
         results[evo] = evaluate_params(engine, params, test_h5,
                                        batch_size=eval_bs)
