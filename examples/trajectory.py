@@ -5,6 +5,10 @@ Usage: python examples/trajectory.py --frames dir_of_images/ \
     [--weights CKPT] [--export-ply PREFIX] [--gt poses.txt]
 
 --gt expects an Nx12 text file of world-to-cam [R|t] rows for ATE.
+
+No assets needed: `--synthetic N` renders an N-frame ray-cast scene
+trajectory (tools/synthetic.py) into --frames (default /tmp) with its
+ground-truth poses and evaluates ATE against them.
 """
 
 import argparse
@@ -19,15 +23,33 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", required=True)
+    ap.add_argument("--frames", default=None)
     ap.add_argument("--weights", default=None)
     ap.add_argument("--export-ply", default=None)
     ap.add_argument("--gt", default=None)
+    ap.add_argument("--synthetic", type=int, default=None, metavar="N",
+                    help="render an N-frame synthetic trajectory with GT "
+                         "poses into --frames (tools/synthetic.py) and "
+                         "report ATE against it")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="scene seed for --synthetic")
     ap.add_argument("--ba-track-length", type=int, default=3,
                     help="flow-chained BA track length (cameras per point)")
     ap.add_argument("--ba", action="store_true",
                     help="run bundle adjustment after the pose graph")
     args = ap.parse_args()
+
+    if args.synthetic:
+        from demon_tpu.tools.synthetic import write_trajectory_frames
+
+        args.frames = args.frames or f"/tmp/demon_traj_{args.seed}"
+        print(f"rendering {args.synthetic}-frame synthetic trajectory "
+              f"into {args.frames} ...", flush=True)
+        write_trajectory_frames(args.frames, n_frames=args.synthetic,
+                                seed=args.seed)
+        args.gt = args.gt or os.path.join(args.frames, "poses.txt")
+    elif not args.frames:
+        ap.error("--frames is required (or use --synthetic N)")
 
     import jax
     from PIL import Image
