@@ -33,6 +33,9 @@ def main():
                          "report ATE against it")
     ap.add_argument("--seed", type=int, default=0,
                     help="scene seed for --synthetic")
+    ap.add_argument("--variant", default="v1", choices=["v1", "v2"],
+                    help="v1 for the released/converted weights, v2 for "
+                         "checkpoints from the training driver")
     ap.add_argument("--ba-track-length", type=int, default=3,
                     help="flow-chained BA track length (cameras per point)")
     ap.add_argument("--ba", action="store_true",
@@ -71,7 +74,7 @@ def main():
         for p in paths])
     print(f"{len(paths)} frames")
 
-    engine = DemonEngine(variant="v1", iterations=3)
+    engine = DemonEngine(variant=args.variant, iterations=3)
     if args.weights:
         from demon_tpu.tools.converter import load_params
 
