@@ -69,6 +69,30 @@ def summarize(train_dir: str, key: str = "total_loss") -> List[Dict]:
     return out
 
 
+def held_out_table(results: Dict[str, dict]) -> List[str]:
+    """Rows of the per-evolution held-out eval table from a
+    convergence_results.json mapping (synthetic_convergence.py)."""
+    stages = [(k, v) for k, v in results.items() if isinstance(v, dict)]
+    if not stages:
+        return []
+    short = {"flow_epe": "flow_epe", "depth_l1_inverse": "d_l1inv",
+             "depth_sc_inv": "d_scinv", "rot_err_deg": "rot_deg",
+             "tran_angle_err_deg": "tran_deg",
+             "depth_l1_inverse_refined": "d_l1inv_ref"}
+    cols = [c for c in short if any(c in v for _, v in stages)]
+    if not cols:
+        return []
+    name_w = max(len(k) for k, _ in stages)
+    lines = ["held-out eval (convergence_results.json):",
+             " " * name_w + "".join(f"  {short[c]:>12s}" for c in cols)]
+    for k, v in stages:
+        cells = "".join(
+            f"  {v[c]:12.4f}" if isinstance(v.get(c), (int, float))
+            else f"  {'-':>12s}" for c in cols)
+        lines.append(f"{k:{name_w}s}{cells}")
+    return lines
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("train_dir")
@@ -86,6 +110,16 @@ def main():
               f"{r['steps'][1]:<6}  {args.key} {r['first']:10.4f} -> "
               f"{r['last']:10.4f} (min {r['min']:10.4f}){rate}")
         print(f"{'':{name_w}s}  {r['sparkline']}")
+    # a convergence harness run keeps its held-out evals next to the
+    # train dir — show them too
+    results_path = os.path.join(os.path.dirname(
+        os.path.abspath(args.train_dir)), "convergence_results.json")
+    if os.path.isfile(results_path):
+        with open(results_path) as f:
+            results = json.load(f)
+        print()
+        for line in held_out_table(results):
+            print(line)
 
 
 if __name__ == "__main__":

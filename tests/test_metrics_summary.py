@@ -34,3 +34,20 @@ def test_read_jsonl_skips_blank(tmp_path):
     p = tmp_path / "m.jsonl"
     p.write_text('{"step": 1}\n\n{"step": 2}\n')
     assert [r["step"] for r in read_jsonl(str(p))] == [1, 2]
+
+
+def test_held_out_table():
+    from demon_tpu.utils.metrics_summary import held_out_table
+
+    results = {
+        "init": {"flow_epe": 110.0, "rot_err_deg": 80.0},
+        "3_dm2": {"flow_epe": 10.0, "rot_err_deg": 3.0,
+                  "final_loss": 44.0},
+        "wall_hours": 2.9,  # non-dict entries are skipped
+    }
+    lines = held_out_table(results)
+    assert lines[0].startswith("held-out eval")
+    assert any("init" in l and "110.0" in l for l in lines)
+    assert any("3_dm2" in l and "3.0" in l for l in lines)
+    assert held_out_table({"wall_hours": 1.0}) == []
+    assert held_out_table({}) == []
