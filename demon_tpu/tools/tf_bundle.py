@@ -196,3 +196,81 @@ def read_tf_checkpoint(prefix: str) -> Dict[str, np.ndarray]:
         arr = np.frombuffer(raw, dtype=dtype)
         out[name] = arr.reshape(e["shape"]).copy()
     return out
+
+
+# ---------------------------------------------------------------------------
+# writer (test/drill fixture: fabricate a bundle in the real format)
+# ---------------------------------------------------------------------------
+
+def _write_varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b7 = n & 0x7F
+        n >>= 7
+        if n:
+            out += bytes([b7 | 0x80])
+        else:
+            return out + bytes([b7])
+
+
+def _encode_bundle_entry(dtype: int, shape, shard: int, offset: int,
+                         size: int) -> bytes:
+    """BundleEntryProto wire encoding (fields: 1 dtype, 2 shape, 3 shard,
+    4 offset, 5 size)."""
+    msg = b"\x08" + _write_varint(dtype)
+    shape_msg = b""
+    for d in shape:
+        dim = b"\x08" + _write_varint(int(d))            # Dim.size = 1
+        shape_msg += b"\x12" + _write_varint(len(dim)) + dim
+    msg += b"\x12" + _write_varint(len(shape_msg)) + shape_msg
+    msg += b"\x18" + _write_varint(shard)
+    msg += b"\x20" + _write_varint(offset)
+    msg += b"\x28" + _write_varint(size)
+    return msg
+
+
+def _encode_block(entries) -> bytes:
+    """LevelDB data block: full keys (no prefix sharing), one restart."""
+    buf = b""
+    for key, value in entries:
+        buf += (_write_varint(0) + _write_varint(len(key))
+                + _write_varint(len(value)) + key + value)
+    buf += struct.pack("<I", 0)   # restart[0]
+    buf += struct.pack("<I", 1)   # num_restarts
+    return buf
+
+
+def _encode_table(entries) -> bytes:
+    """Minimal LevelDB table: one data block + index block + footer."""
+    data_block = _encode_block(entries)
+    out = data_block + b"\x00" + b"\x00\x00\x00\x00"   # type + crc
+    data_handle = _write_varint(0) + _write_varint(len(data_block))
+    index_block = _encode_block([(b"\xff\xff", data_handle)])
+    index_off = len(out)
+    out += index_block + b"\x00" + b"\x00\x00\x00\x00"
+    meta_handle = _write_varint(index_off) + _write_varint(0)
+    index_handle = _write_varint(index_off) + _write_varint(len(index_block))
+    footer = meta_handle + index_handle
+    footer += b"\x00" * (40 - len(footer))
+    footer += struct.pack("<Q", _TABLE_MAGIC)
+    return out + footer
+
+
+def write_tf_checkpoint(prefix: str, variables: Dict[str, np.ndarray]) -> None:
+    """Write {name: float32 array} as a TF bundle (<prefix>.index +
+    <prefix>.data-00000-of-00001) readable by read_tf_checkpoint AND by
+    tf.train.Saver. Used to fabricate release-shaped checkpoints for the
+    ingestion drill (the real artifact is weights/download_weights.sh:1-3
+    in the reference)."""
+    data = b""
+    entries = [(b"", b"")]  # header entry
+    for name in sorted(variables):
+        v = np.asarray(variables[name], np.float32)
+        entries.append((name.encode(),
+                        _encode_bundle_entry(1, v.shape, 0, len(data),
+                                             v.nbytes)))
+        data += v.tobytes()
+    with open(prefix + ".index", "wb") as f:
+        f.write(_encode_table(entries))
+    with open(prefix + ".data-00000-of-00001", "wb") as f:
+        f.write(data)

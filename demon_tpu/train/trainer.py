@@ -131,9 +131,19 @@ class TrainConfig:
     # each optimizer update (optax.MultiSteps) — the >HBM-batch recipe.
     # The LR schedule and max_iter then count *effective* updates.
     accum_steps: int = 1
+    # Ablation knob for evolution 4's training distribution: True keeps the
+    # reference mix of 1 fresh batch + 3 recycled prediction batches
+    # (training.py:278-320); False feeds 4x fresh rows with netDM1
+    # predictions as prev each step (same compute, no recycling).
+    replay_recycled: bool = True
 
     def batch_for(self, evo: str) -> int:
-        return self.batch_size_iterative if evo >= "4_iterative" else self.batch_size
+        if evo >= "4_iterative":
+            if evo == "4_iterative" and not self.replay_recycled:
+                # fresh-mix ablation: same rows/step as the recycled mix
+                return self.batch_size_iterative * self.simulated_iterations
+            return self.batch_size_iterative
+        return self.batch_size
 
 
 # which nets receive gradients in each evolution (training.py:500-514)
@@ -359,7 +369,11 @@ class EvolutionTrainer:
         dm1_state = {k: dm1[k] for k in
                      ("predict_depth2", "predict_normal2", "predict_rotation",
                       "predict_translation", "predict_scale")}
-        if evo == "4_iterative":
+        if evo == "4_iterative" and not cfg.replay_recycled:
+            # fresh-mix ablation: the reader already delivers 4B fresh rows;
+            # prev stays netDM1's predictions for every row, nothing carried
+            pass
+        elif evo == "4_iterative":
             assert replay is not None
             data = jax.tree.map(
                 lambda fresh, old: jnp.concatenate([fresh, old], 0),
@@ -439,16 +453,17 @@ class EvolutionTrainer:
             return self._total(loss_dict, selected, params, evo), loss_dict, new_replay
 
         if evo == "4_iterative":
-            # re-emit the first 3B rows with netDM2's predictions as the
-            # next step's recycled portion (reference training.py:463-477)
-            n = (cfg.simulated_iterations - 1) * cfg.batch_size_iterative
-            take = lambda t: jax.lax.stop_gradient(t[:n])
-            dm2_state = {k: dm2[k] for k in dm1_state}
-            new_replay = {
-                "data": jax.tree.map(take, data),
-                "gt": jax.tree.map(take, gt),
-                "dm": jax.tree.map(take, dm2_state),
-            }
+            if cfg.replay_recycled:
+                # re-emit the first 3B rows with netDM2's predictions as the
+                # next step's recycled portion (reference training.py:463-477)
+                n = (cfg.simulated_iterations - 1) * cfg.batch_size_iterative
+                take = lambda t: jax.lax.stop_gradient(t[:n])
+                dm2_state = {k: dm2[k] for k in dm1_state}
+                new_replay = {
+                    "data": jax.tree.map(take, data),
+                    "gt": jax.tree.map(take, gt),
+                    "dm": jax.tree.map(take, dm2_state),
+                }
             return self._total(loss_dict, selected, params, evo), loss_dict, new_replay
 
         # --- netRefine (evo 5) ---------------------------------------------
@@ -597,7 +612,7 @@ class EvolutionTrainer:
     def init_replay(self, evo: str, params, batch):
         """Initialize the recycled-prediction carry by replicating the first
         batch 3x (reference training.py:304-320)."""
-        if evo != "4_iterative":
+        if evo != "4_iterative" or not self.config.replay_recycled:
             return None
         cfg = self.config
         image1 = batch["IMAGE_PAIR"][..., :3]

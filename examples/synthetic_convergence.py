@@ -20,6 +20,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -55,7 +56,15 @@ def engine_params_from_trainer(p):
 def evaluate_params(engine, trainer_params, test_h5, batch_size=16):
     """Run the fused pipeline on the deterministic test reader and compute
     the reference-protocol metrics (flow EPE px, depth L1-inv/sc-inv/
-    abs-rel, rotation deg, translation angle deg)."""
+    abs-rel, rotation deg, translation angle deg).
+
+    Metrics are computed at EVERY network iteration (bootstrap + 3
+    iterative, each with its own refined depth — engine.predict_eval, the
+    reference protocol's iteration axis, examples/evaluation.py:226-257).
+    The returned dict carries the final-iteration values at the top level
+    (backward compatible) plus a "per_iteration" sub-dict {metric:
+    [iter0..iter3]} — the paper's core claim is that these improve with
+    iteration."""
     import jax.numpy as jnp
 
     from demon_tpu.data import MultiViH5DataReader
@@ -79,32 +88,32 @@ def evaluate_params(engine, trainer_params, test_h5, batch_size=16):
                        "INTRINSICS"),
         "source": [{"path": test_h5, "weight": [{"t": 0, "v": 1.0}]}],
     }
-    rows = []
+    n_iters = engine.iterations + 1
+    rows = [[] for _ in range(n_iters)]
     with MultiViH5DataReader(reader_params) as reader:
         for batch in reader:
             ip = jnp.asarray(batch["IMAGE_PAIR"])
             # image2 at level 2, same area-downsampling the trainer uses
             i22 = resize_area(ip[..., 3:], 48, 64)
             intr = jnp.asarray(batch["INTRINSICS"])
-            out = engine.predict(params, ip, i22, intr)
+            out = engine.predict_eval(params, ip, i22, intr)
             H, W = 192, 256
             flow_pred = np.asarray(resize_nearest(
-                out.prediction.flow2.astype(jnp.float32), H, W))
+                out["flow2"].astype(jnp.float32).reshape((-1,) + out["flow2"].shape[2:]),
+                H, W)).reshape((n_iters, -1, H, W, 2))
             flow_pred = flow_pred * np.array([W, H], np.float32)  # px
             depth_pred = np.asarray(resize_nearest(
-                out.prediction.depth2.astype(jnp.float32), H, W))[..., 0]
+                out["depth2"].astype(jnp.float32).reshape((-1,) + out["depth2"].shape[2:]),
+                H, W)).reshape((n_iters, -1, H, W))
             depth_refined = np.asarray(
-                out.depth_refined.astype(jnp.float32))[..., 0]
-            rot = np.asarray(out.prediction.rotation, np.float32)
-            tra = np.asarray(out.prediction.translation, np.float32)
+                out["depth_refined"].astype(jnp.float32))[..., 0]
+            rot = np.asarray(out["rotation"], np.float32)
+            tra = np.asarray(out["translation"], np.float32)
 
             for i in range(ip.shape[0]):
                 gt_flow = batch["FLOW"][i]
                 gt_depth_inv = batch["DEPTH"][i][..., 0]  # inverse depth
                 motion_gt = batch["MOTION"][i]
-                epe = M.compute_flow_epe(
-                    np.transpose(flow_pred[i], (2, 0, 1)),
-                    np.transpose(gt_flow, (2, 0, 1)))
                 gt_ok = np.isfinite(gt_depth_inv) & (gt_depth_inv > 0)
 
                 def depth_metrics(pred_inv):
@@ -115,20 +124,32 @@ def evaluate_params(engine, trainer_params, test_h5, batch_size=16):
                     return (M.l1_inverse(dp, gt), M.scale_invariant(dp, gt),
                             float(ok.mean()))
 
-                l1i, sci, frac = depth_metrics(depth_pred[i])
-                l1i_r, _, _ = depth_metrics(depth_refined[i])
-                rot_err, tran_err, tran_ang = M.compute_motion_errors(
-                    np.concatenate([rot[i], tra[i]]), motion_gt, True)
-                rows.append({
-                    "flow_epe": epe,
-                    "depth_l1_inverse": l1i,
-                    "depth_sc_inv": sci,
-                    "depth_valid_frac": frac,
-                    "depth_l1_inverse_refined": l1i_r,
-                    "rot_err_deg": rot_err,
-                    "tran_angle_err_deg": tran_ang,
-                })
-    return {k: float(np.nanmean([r[k] for r in rows])) for k in rows[0]}
+                for it in range(n_iters):
+                    epe = M.compute_flow_epe(
+                        np.transpose(flow_pred[it, i], (2, 0, 1)),
+                        np.transpose(gt_flow, (2, 0, 1)))
+                    l1i, sci, frac = depth_metrics(depth_pred[it, i])
+                    l1i_r, _, _ = depth_metrics(depth_refined[it, i])
+                    rot_err, tran_err, tran_ang = M.compute_motion_errors(
+                        np.concatenate([rot[it, i], tra[it, i]]),
+                        motion_gt, True)
+                    rows[it].append({
+                        "flow_epe": epe,
+                        "depth_l1_inverse": l1i,
+                        "depth_sc_inv": sci,
+                        "depth_valid_frac": frac,
+                        "depth_l1_inverse_refined": l1i_r,
+                        "rot_err_deg": rot_err,
+                        "tran_angle_err_deg": tran_ang,
+                    })
+    per_iter = {
+        k: [float(np.nanmean([r[k] for r in rows[it]]))
+            for it in range(n_iters)]
+        for k in rows[0][0]
+    }
+    result = {k: v[-1] for k, v in per_iter.items()}
+    result["per_iteration"] = per_iter
+    return result
 
 
 def _train_chunked(args, evo: str, cap: int) -> None:
@@ -154,8 +175,12 @@ def _train_chunked(args, evo: str, cap: int) -> None:
                "--style", args.style,
                "--n-views", str(args.n_views),
                "--ema", str(args.ema),
+               "--replay", args.replay,
+               "--train-dir-name", args.train_dir_name,
                "--_train-evo", evo,
                "--_train-until", str(target)]
+        if not args.scale_schedule:
+            cmd.append("--no-scale-schedule")
         r = subprocess.run(cmd)
         if r.returncode != 0:
             raise RuntimeError(
@@ -206,6 +231,27 @@ def main():
                     help="maintain a parameter EMA (TrainConfig.ema_decay) "
                          "and evaluate each evolution with the smoothed "
                          "weights (trainer.eval_params)")
+    ap.add_argument("--replay", default="recycled",
+                    choices=("recycled", "fresh"),
+                    help="evolution-4 training mix: 'recycled' = the "
+                         "reference's 1 fresh + 3 recycled prediction "
+                         "batches; 'fresh' = 4x fresh rows with netDM1 "
+                         "prev (ablation, TrainConfig.replay_recycled)")
+    ap.add_argument("--scale-schedule", action="store_true", default=True,
+                    help="scale TrainConfig.max_iter to the per-evolution "
+                         "step caps so the reference LR curve (constant "
+                         "1/3 then quadratic decay) and loss-weight ramps "
+                         "play out within the run instead of pinning LR at "
+                         "its peak for the whole shortened run")
+    ap.add_argument("--no-scale-schedule", dest="scale_schedule",
+                    action="store_false")
+    ap.add_argument("--evo4-ablation", action="store_true",
+                    help="after evolution 4, fork from the 3_dm2 snapshot "
+                         "and re-train evolution 4 with --replay fresh in "
+                         "<out>/training_ablation; record the held-out "
+                         "metrics as results['4_iterative_freshmix']")
+    ap.add_argument("--train-dir-name", default="training",
+                    help=argparse.SUPPRESS)
     ap.add_argument("--steps-per-process", type=int, default=0,
                     help="run training in child processes of at most N "
                          "steps each (resuming from recovery snapshots). "
@@ -247,21 +293,36 @@ def main():
     build_scene_cache(train_h5, cache_dir, 192, 256, verbose=False)
     print("datasets ready", flush=True)
 
-    cfg = TrainConfig(batch_size=args.batch,
-                      batch_size_iterative=args.batch_iterative,
-                      compute_dtype=args.compute_dtype,
-                      ema_decay=args.ema)
+    def make_cfg(replay: str) -> TrainConfig:
+        cfg = TrainConfig(batch_size=args.batch,
+                          batch_size_iterative=args.batch_iterative,
+                          compute_dtype=args.compute_dtype,
+                          ema_decay=args.ema,
+                          replay_recycled=(replay == "recycled"))
+        if args.scale_schedule:
+            # play the reference schedule *shape* (constant LR for 1/3,
+            # quadratic decay to 1e-6; sig-weight ramps; level-5 fade)
+            # at the shortened run's actual scale — otherwise every
+            # evolution trains at peak LR with no annealing
+            cfg = dataclasses.replace(
+                cfg, max_iter=dict(zip(EVOLUTIONS, steps)))
+        return cfg
+
+    def make_driver(cfg: TrainConfig, train_dir_name: str) -> TrainingDriver:
+        return TrainingDriver(
+            train_dir=os.path.join(args.out, train_dir_name),
+            sources=[{"path": train_h5, "weight": [{"t": 0, "v": 1.0}]}],
+            config=cfg,
+            display_interval=50,
+            saver_interval=100_000,
+            recovery_interval=1_000,
+            check_numerics_interval=500,
+            cache_dir=cache_dir,
+        )
+
+    cfg = make_cfg(args.replay)
     engine = DemonEngine(variant=cfg.variant, iterations=3)
-    driver = TrainingDriver(
-        train_dir=os.path.join(args.out, "training"),
-        sources=[{"path": train_h5, "weight": [{"t": 0, "v": 1.0}]}],
-        config=cfg,
-        display_interval=50,
-        saver_interval=100_000,
-        recovery_interval=1_000,
-        check_numerics_interval=500,
-        cache_dir=cache_dir,
-    )
+    driver = make_driver(cfg, args.train_dir_name)
 
     if args._train_evo is not None:
         # child-process mode: train one bounded chunk of one evolution
@@ -279,39 +340,76 @@ def main():
                                       batch_size=eval_bs)
     print(json.dumps(results["init"], indent=1), flush=True)
 
-    for evo, cap in zip(EVOLUTIONS, steps):
-        print(f"\n=== evolution {evo} ({cap} steps) ===", flush=True)
-        if args.steps_per_process:
-            _train_chunked(args, evo, cap)
-            from demon_tpu.train.checkpoint import EvolutionCheckpointer
-
-            ck = EvolutionCheckpointer(driver.train_dir, evo)
-            if args.ema:
-                seed = driver.trainer.init_params(jax.random.key(0))
-                _, restored = ck.restore(
-                    {"params": seed,
-                     "opt_state": driver.trainer.init_opt_state(evo, seed)})
-                params = driver.trainer.eval_params(restored["params"],
-                                                    restored["opt_state"])
-            else:
-                params = ck.restore_params(
-                    driver.trainer.init_params(jax.random.key(0)))
-            ck.close()
-            final_loss = _last_logged_loss(
-                os.path.join(driver.train_dir, evo, "metrics.jsonl"))
-        else:
-            driver.max_steps = cap
-            out = driver.run_evolution(evo)
-            params = driver.trainer.eval_params(out["params"],
-                                                out["opt_state"])
-            final_loss = out["metrics"].get("total_loss")
-        results[evo] = evaluate_params(engine, params, test_h5,
-                                       batch_size=eval_bs)
-        results[evo]["final_loss"] = final_loss
-        print(json.dumps(results[evo], indent=1), flush=True)
+    def _save():
         with open(os.path.join(args.out, "convergence_results.json"),
                   "w") as f:
             json.dump(results, f, indent=1)
+
+    def train_and_eval(drv, chunk_args, evo, cap):
+        """Train one evolution (in-process or chunked) and evaluate the
+        held-out metrics with the raw params (plus the EMA shadow when
+        --ema is on, recorded under result['ema'])."""
+        if args.steps_per_process:
+            _train_chunked(chunk_args, evo, cap)
+            from demon_tpu.train.checkpoint import EvolutionCheckpointer
+
+            ck = EvolutionCheckpointer(drv.train_dir, evo)
+            seed = drv.trainer.init_params(jax.random.key(0))
+            if args.ema:
+                _, restored = ck.restore(
+                    {"params": seed,
+                     "opt_state": drv.trainer.init_opt_state(evo, seed)})
+                raw = restored["params"]
+                ema = drv.trainer.eval_params(restored["params"],
+                                              restored["opt_state"])
+            else:
+                raw, ema = ck.restore_params(seed), None
+            ck.close()
+            final_loss = _last_logged_loss(
+                os.path.join(drv.train_dir, evo, "metrics.jsonl"))
+        else:
+            drv.max_steps = cap
+            out = drv.run_evolution(evo)
+            raw = out["params"]
+            ema = (drv.trainer.eval_params(out["params"], out["opt_state"])
+                   if args.ema else None)
+            final_loss = out["metrics"].get("total_loss")
+        res = evaluate_params(engine, raw, test_h5, batch_size=eval_bs)
+        if ema is not None:
+            res["ema"] = evaluate_params(engine, ema, test_h5,
+                                         batch_size=eval_bs)
+        res["final_loss"] = final_loss
+        return res, (ema if ema is not None else raw)
+
+    for evo, cap in zip(EVOLUTIONS, steps):
+        print(f"\n=== evolution {evo} ({cap} steps) ===", flush=True)
+        results[evo], params = train_and_eval(driver, args, evo, cap)
+        print(json.dumps(results[evo], indent=1), flush=True)
+        _save()
+
+        if evo == "4_iterative" and args.evo4_ablation:
+            # fork: re-train evolution 4 from the same 3_dm2 snapshot with
+            # 4x-fresh rows instead of the recycled-prediction mix
+            import shutil
+
+            print("\n=== evolution 4_iterative (fresh-mix ablation, "
+                  f"{cap} steps) ===", flush=True)
+            abl_name = "training_ablation"
+            abl_dir = os.path.join(args.out, abl_name)
+            src = os.path.join(args.out, args.train_dir_name, "3_dm2")
+            dst = os.path.join(abl_dir, "3_dm2")
+            if not os.path.exists(dst):
+                os.makedirs(abl_dir, exist_ok=True)
+                shutil.copytree(src, dst)
+            abl_args = argparse.Namespace(**vars(args))
+            abl_args.replay = "fresh"
+            abl_args.train_dir_name = abl_name
+            abl_driver = make_driver(make_cfg("fresh"), abl_name)
+            results["4_iterative_freshmix"], _ = train_and_eval(
+                abl_driver, abl_args, evo, cap)
+            print(json.dumps(results["4_iterative_freshmix"], indent=1),
+                  flush=True)
+            _save()
 
     results["wall_hours"] = (time.time() - t0) / 3600.0
     with open(os.path.join(args.out, "convergence_results.json"), "w") as f:

@@ -70,6 +70,25 @@ def test_evolution4_replay_mix(tmp_path, tiny_dataset):
     assert any(k.startswith("netDM2_") for k in out["metrics"])
 
 
+def test_evolution4_fresh_mix_ablation(tmp_path, tiny_dataset):
+    """replay_recycled=False trains evolution 4 on 4x fresh rows (no
+    carried predictions) with the same rows/step as the recycled mix."""
+    cfg = TrainConfig(height=64, width=64, batch_size=2,
+                      batch_size_iterative=2, replay_recycled=False)
+    assert cfg.batch_for("4_iterative") == 8   # 2 * simulated_iterations
+    assert cfg.batch_for("5_refine") == 2
+    sources = [{"path": tiny_dataset, "weight": [{"t": 0, "v": 1.0}]}]
+    driver = TrainingDriver(
+        str(tmp_path / "train_dir"), sources, config=cfg,
+        max_steps=2, display_interval=1,
+        saver_interval=1000, recovery_interval=1000)
+    out = driver.run_evolution("4_iterative")
+    assert out["step"] == 2
+    assert np.isfinite(out["metrics"]["total_loss"])
+    assert any(k.startswith("netFlow2_") for k in out["metrics"])
+    assert any(k.startswith("netDM2_") for k in out["metrics"])
+
+
 def test_warm_start_chain(tmp_path, tiny_dataset):
     """Evolution 1 warm-starts from evolution 0's final snapshot
     (reference training/README.md:14-19)."""
