@@ -48,27 +48,44 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", default=os.path.dirname(__file__) or ".")
     ap.add_argument("--datasets", nargs="*", default=list(DATASETS))
+    ap.add_argument("--base-url", default=BASE_URL,
+                    help="override the release server (file:// URLs work "
+                         "— used by the ingestion drill, "
+                         "tests/test_release_drill.py)")
+    ap.add_argument("--md5-manifest", default=None,
+                    help="JSON file {'h5': {ds: md5}, 'tgz': {ds: md5}} "
+                         "overriding the pinned release hashes (drill only "
+                         "— production downloads verify against the "
+                         "reference's testdata.md5 manifest)")
     args = ap.parse_args()
+
+    md5_h5, md5_tgz = MD5_H5, MD5_TGZ
+    if args.md5_manifest:
+        import json
+
+        with open(args.md5_manifest) as f:
+            manifest = json.load(f)
+        md5_h5, md5_tgz = manifest["h5"], manifest["tgz"]
 
     for ds in args.datasets:
         h5_path = os.path.join(args.out_dir, f"{ds}_test.h5")
-        if os.path.isfile(h5_path) and md5sum(h5_path) == MD5_H5[ds]:
+        if os.path.isfile(h5_path) and md5sum(h5_path) == md5_h5[ds]:
             print(f"{ds}_test.h5 present and verified")
             continue
         tgz_path = os.path.join(args.out_dir, f"{ds}_test.tgz")
         if not (os.path.isfile(tgz_path)
-                and md5sum(tgz_path) == MD5_TGZ[ds]):
-            url = f"{BASE_URL}/{ds}_test.tgz"
+                and md5sum(tgz_path) == md5_tgz[ds]):
+            url = f"{args.base_url}/{ds}_test.tgz"
             print(f"downloading {url}")
             urllib.request.urlretrieve(url, tgz_path)
             got = md5sum(tgz_path)
-            if got != MD5_TGZ[ds]:
-                print(f"ERROR: {tgz_path} md5 {got} != {MD5_TGZ[ds]}")
+            if got != md5_tgz[ds]:
+                print(f"ERROR: {tgz_path} md5 {got} != {md5_tgz[ds]}")
                 return 1
         print(f"extracting {tgz_path}")
         with tarfile.open(tgz_path) as tar:
             tar.extractall(args.out_dir)
-        if md5sum(h5_path) != MD5_H5[ds]:
+        if md5sum(h5_path) != md5_h5[ds]:
             print(f"ERROR: extracted {h5_path} failed verification")
             return 1
         print(f"{ds}_test.h5 ready")

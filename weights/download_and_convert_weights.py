@@ -18,6 +18,9 @@ def main():
     ap.add_argument("--out-dir", default=os.path.dirname(__file__) or ".")
     ap.add_argument("--converted", default=None,
                     help="output orbax dir (default <out-dir>/demon_tpu_v1)")
+    ap.add_argument("--url", default=URL,
+                    help="override the release URL (file:// works — used "
+                         "by the ingestion drill, tests/test_release_drill.py)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -26,8 +29,8 @@ def main():
     prefix = os.path.join(args.out_dir, "demon_original")
     if not os.path.isfile(prefix + ".index"):
         if not os.path.isfile(tgz):
-            print(f"downloading {URL}")
-            urllib.request.urlretrieve(URL, tgz)
+            print(f"downloading {args.url}")
+            urllib.request.urlretrieve(args.url, tgz)
         print(f"extracting {tgz}")
         with tarfile.open(tgz) as tar:
             tar.extractall(args.out_dir)
