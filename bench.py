@@ -124,7 +124,9 @@ def bench_train():
 def bench_input():
     """BENCH_MODE=input: reader throughput (192x256 training batches from a
     pre-decoded cache, the production input path). Env: BENCH_THREADS,
-    BENCH_BATCHES, BENCH_SCENES."""
+    BENCH_BATCHES, BENCH_SCENES; BENCH_WORKERS>0 measures the
+    multi-process reader (data/mp_reader.py, BENCH_THREADS builder threads
+    per worker) instead of the single-process threaded one."""
     import shutil
     import tempfile
 
@@ -175,16 +177,25 @@ def bench_input():
             "top_output": ("IMAGE_PAIR", "MOTION", "DEPTH", "INTRINSICS"),
             "source": [{"path": path, "weight": [{"t": 0, "v": 1.0}]}],
         }
-        with MultiViH5DataReader(params) as reader:
+        workers = int(os.environ.get("BENCH_WORKERS", "0"))
+        if workers > 0:
+            from demon_tpu.data import MultiProcessReader
+
+            reader_cm = MultiProcessReader(params, workers=workers)
+            label = f"{workers}workers_{threads}threads"
+        else:
+            reader_cm = MultiViH5DataReader(params)
+            label = f"{threads}threads"
+        with reader_cm as reader:
             for _ in range(8):  # warm up: fill pool, settle threads
-                reader.get_batch(timeout=120)
+                reader.get_batch(timeout=300)
             t0 = time.perf_counter()
             for _ in range(n_batches):
-                reader.get_batch(timeout=120)
+                reader.get_batch(timeout=300)
             dt = time.perf_counter() - t0
         rate = batch * n_batches / dt
         print(json.dumps({
-            "metric": f"demon_input_pipeline_samples_per_s_{threads}threads",
+            "metric": f"demon_input_pipeline_samples_per_s_{label}",
             "value": round(rate, 2),
             "unit": "samples/s",
             "vs_baseline": round(rate / 239.0, 2),  # h5+decode 4-thread path
@@ -286,8 +297,13 @@ def main():
         "BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
 
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    # the packed-tap head kernel has its own switch so its contribution is
+    # measurable standalone (None = follow BENCH_PALLAS)
+    ph = os.environ.get("BENCH_PALLAS_HEAD")
+    use_pallas_head = None if ph is None else ph == "1"
     engine = DemonEngine(variant="v1", iterations=3, dtype=dtype,
-                         use_pallas=use_pallas)
+                         use_pallas=use_pallas,
+                         use_pallas_head=use_pallas_head)
     # abstract-eval the init to get parameter shapes, then materialize
     # host-side — avoids compiling/running 4 init programs on the device
     # (for throughput the weight values are irrelevant)

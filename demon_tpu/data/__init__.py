@@ -26,6 +26,7 @@ from .view_io import (
     write_lz4half_depth,
 )
 from .reader import MultiViH5DataReader, ReaderParams, SourceParams
+from .mp_reader import MultiProcessReader
 from .pipeline import device_prefetch
 from .helpers import add_sources
 
@@ -40,6 +41,7 @@ __all__ = [
     "read_lz4half_depth",
     "write_lz4half_depth",
     "MultiViH5DataReader",
+    "MultiProcessReader",
     "ReaderParams",
     "SourceParams",
     "device_prefetch",

@@ -1,0 +1,251 @@
+"""Multi-process input pipeline: N worker processes, each running a full
+MultiViH5DataReader over a disjoint scene shard, delivering batches to the
+training process through shared-memory ring buffers.
+
+Why processes: the threaded reader's measured ceiling on small hosts is
+the GIL convoy — past ~host-core builder threads the python selection
+phase serializes (BENCHMARKS.md "input pipeline"). The reference solved
+this with C++ threads (multivih5datareader.cpp:1234-1301); the
+TPU-native answer keeps the whole existing reader (python orchestration +
+native decode/assembly) and removes the shared GIL instead: each worker
+process owns its own interpreter, its own memmapped cache shard view and
+its own native OpenMP team.
+
+Sharding reuses the reader's host-sharding rule: worker w of W serving
+global host h of H reads shard (h*W + w) of (H*W) — the exact stable
+per-file rule count_sample_groups/_group_iter/_cache_iter implement, so
+multi-process and multi-host composition is one multiplication.
+
+Transport: one POSIX shared-memory segment per worker, sliced into
+`slots` batch-sized frames. A worker copies each assembled batch into a
+free slot (one memcpy, parallel across workers) and posts (slot, layout)
+on a queue; the parent materializes numpy arrays out of the slot (second
+memcpy) and immediately recycles it. Two copies total — the same count a
+multiprocessing.Queue pickle round trip pays in the pipe alone, without
+the pipe's syscall traffic — and the parent-side copy is the only
+serialized section (~1-2 ms/batch), so the design scales until that
+memcpy saturates (>10k samples/s at 192x256 batch 16).
+
+Deterministic test phase stays on the in-process reader by contract
+(exact one-pass coverage is a single-stream property); this class is the
+throughput path for training.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import multiprocessing as mp
+import queue as queue_mod
+import traceback
+from multiprocessing import shared_memory
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .reader import MAX_PRELOADED_BATCHES, ReaderParams
+
+_ALIGN = 64
+
+
+def _slot_bytes(p: ReaderParams) -> int:
+    """Upper bound on one batch's payload for the configured outputs."""
+    if not (p.scaled_height and p.scaled_width):
+        raise ValueError("MultiProcessReader needs scaled_height/width "
+                         "(slot sizing)")
+    h, w, b = p.scaled_height, p.scaled_width, p.batch_size
+    total = 0
+    per_pix = {
+        "IMAGE_PAIR": 2 if p.convert_to_gray_values else 6,
+        "DEPTH": 2 if p.depth_pair else 1,
+        "FLOW": 2,
+        "DEPTHMASKS": 1,
+    }
+    for key in p.top_output:
+        ch = per_pix.get(key)
+        if ch is not None:
+            total += b * h * w * ch * 4 + _ALIGN
+        else:  # MOTION / INTRINSICS / misc vectors
+            total += b * 32 * 4 + _ALIGN
+    return total + _ALIGN
+
+
+def _worker_main(params: ReaderParams, worker: int,
+                 shm_name: str, slot_bytes: int,
+                 free_q, result_q, quit_ev):
+    """Worker process: full reader over its pre-assigned shard; copies
+    each batch into a free shared-memory slot."""
+    reader = None
+    shm = None
+    try:
+        from .reader import MultiViH5DataReader
+
+        p = params
+        shm = shared_memory.SharedMemory(name=shm_name)
+        reader = MultiViH5DataReader(p)
+        while not quit_ev.is_set():
+            try:
+                batch = reader.get_batch(timeout=1.0)
+            except TimeoutError:
+                continue
+            slot = None
+            while slot is None and not quit_ev.is_set():
+                try:
+                    slot = free_q.get(timeout=0.2)
+                except queue_mod.Empty:
+                    continue
+            if slot is None:
+                break
+            base = slot * slot_bytes
+            off = 0
+            layout = {}
+            for k in sorted(batch):
+                v = batch[k]
+                if not isinstance(v, np.ndarray):
+                    continue
+                v = np.ascontiguousarray(v)
+                off = (off + _ALIGN - 1) // _ALIGN * _ALIGN
+                dst = np.ndarray(v.shape, v.dtype, buffer=shm.buf,
+                                 offset=base + off)
+                np.copyto(dst, v)
+                layout[k] = (off, v.shape, v.dtype.str)
+                off += v.nbytes
+            result_q.put((worker, slot, layout,
+                          [str(s) for s in batch.get("SAMPLE_IDS", [])]))
+    except BaseException:
+        try:
+            result_q.put(("error", worker, traceback.format_exc()))
+        except Exception:
+            pass
+    finally:
+        if reader is not None:
+            reader.close()
+        if shm is not None:
+            shm.close()
+
+
+class MultiProcessReader:
+    """Drop-in batch source with the MultiViH5DataReader iteration/info
+    interface, fed by `workers` reader processes over disjoint shards.
+
+    Usage::
+
+        with MultiProcessReader(params, workers=4) as reader:
+            for batch in reader: ...
+    """
+
+    def __init__(self, params, workers: int = 2, slots: int = 4):
+        p = params if isinstance(params, ReaderParams) \
+            else ReaderParams.from_json(params)
+        p.validate()
+        if p.test_phase:
+            raise ValueError(
+                "test_phase needs the deterministic single-process "
+                "MultiViH5DataReader (exact one-pass coverage)")
+        if workers < 1:
+            raise ValueError("workers must be >= 1")
+        self.params = p
+        self.workers = workers
+        self.test_iterations = -1
+        self._slot_bytes = _slot_bytes(p)
+        self._slots = slots
+        self._ctx = mp.get_context("spawn")
+        self._quit = self._ctx.Event()
+        self._result_q = self._ctx.Queue(maxsize=workers * slots)
+        self._free_qs = []
+        self._shms = []
+        self._procs = []
+        for w in range(workers):
+            # worker w serves shard (host_id*W + w) of (num_hosts*W) —
+            # the reader's stable per-file host-sharding rule, so
+            # multi-process x multi-host composition is one multiplication
+            wp = dataclasses.replace(
+                p,
+                host_id=p.host_id * workers + w,
+                num_hosts=p.num_hosts * workers,
+                seed=(p.seed + 0x9E3779B1 * (w + 1)) % (1 << 31),
+            )
+            shm = shared_memory.SharedMemory(
+                create=True, size=self._slot_bytes * slots)
+            free_q = self._ctx.Queue()
+            for s in range(slots):
+                free_q.put(s)
+            proc = self._ctx.Process(
+                target=_worker_main,
+                args=(wp, w, shm.name, self._slot_bytes,
+                      free_q, self._result_q, self._quit),
+                daemon=True, name=f"demon-reader-worker-{w}")
+            proc.start()
+            self._shms.append(shm)
+            self._free_qs.append(free_q)
+            self._procs.append(proc)
+
+    # ------------------------------------------------------------------
+    @property
+    def info(self) -> np.ndarray:
+        """[test_iterations(-1), batch buf cur/max, 0, 0] — queue gauges
+        aggregated across workers (scene gauges live in the workers)."""
+        return np.array([
+            -1.0,
+            self._result_q.qsize(), self.workers * self._slots,
+            0.0, float(MAX_PRELOADED_BATCHES),
+        ], np.float32)
+
+    def _check_alive(self):
+        for w, proc in enumerate(self._procs):
+            if not proc.is_alive() and proc.exitcode not in (0, None):
+                raise RuntimeError(
+                    f"reader worker {w} died (exit {proc.exitcode})")
+
+    def get_batch(self, timeout: Optional[float] = None
+                  ) -> Dict[str, np.ndarray]:
+        import time
+
+        deadline = None if timeout is None else time.monotonic() + timeout
+        while True:
+            try:
+                msg = self._result_q.get(timeout=0.2)
+                break
+            except queue_mod.Empty:
+                self._check_alive()
+                if deadline is not None and time.monotonic() > deadline:
+                    raise TimeoutError("no batch produced in time")
+        if msg and msg[0] == "error":
+            raise RuntimeError(
+                f"reader worker {msg[1]} failed:\n{msg[2]}")
+        worker, slot, layout, sample_ids = msg
+        shm = self._shms[worker]
+        base = slot * self._slot_bytes
+        out: Dict[str, np.ndarray] = {}
+        # one memcpy out of the slot, then recycle it immediately
+        for k, (off, shape, dtype) in layout.items():
+            src = np.ndarray(shape, np.dtype(dtype), buffer=shm.buf,
+                             offset=base + off)
+            out[k] = src.copy()
+        self._free_qs[worker].put(slot)
+        out["SAMPLE_IDS"] = sample_ids
+        return out
+
+    def __iter__(self):
+        while True:
+            yield self.get_batch()
+
+    def close(self):
+        self._quit.set()
+        for proc in self._procs:
+            proc.join(timeout=5)
+        for proc in self._procs:
+            if proc.is_alive():
+                proc.terminate()
+                proc.join(timeout=2)
+        for shm in self._shms:
+            try:
+                shm.close()
+                shm.unlink()
+            except FileNotFoundError:
+                pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

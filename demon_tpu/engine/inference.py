@@ -48,20 +48,26 @@ class DemonEngine:
     HEIGHT, WIDTH = 192, 256
 
     def __init__(self, variant: str = "v1", iterations: int = 3,
-                 dtype=jnp.float32, use_pallas: bool = False):
+                 dtype=jnp.float32, use_pallas: bool = False,
+                 use_pallas_head=None):
         """use_pallas routes qualifying factored-conv pairs through the
         VMEM-fused pallas kernel (ops/pallas_conv.py) — inference-only
         (no custom VJP) and TPU-only; leave False on CPU and for
-        differentiated apply."""
+        differentiated apply. use_pallas_head controls the packed-tap
+        prediction-head kernel separately (None follows use_pallas) so
+        its win/loss is measurable standalone (BENCH_PALLAS_HEAD=1)."""
         self.variant = variant
         self.iterations = iterations
         self.dtype = dtype
         self.bootstrap = BootstrapNet(variant=variant, dtype=dtype,
-                                      pallas=use_pallas)
+                                      pallas=use_pallas,
+                                      pallas_head=use_pallas_head)
         self.iterative = IterativeNet(variant=variant, dtype=dtype,
-                                      pallas=use_pallas)
+                                      pallas=use_pallas,
+                                      pallas_head=use_pallas_head)
         self.refinement = RefinementNet(variant=variant, dtype=dtype,
-                                        pallas=use_pallas)
+                                        pallas=use_pallas,
+                                        pallas_head=use_pallas_head)
         self._jit_predict = jax.jit(self._predict)
         self._jit_predict_eval = jax.jit(self._predict_eval)
         self._jit_refine = jax.jit(

@@ -69,6 +69,13 @@ def _predict_depthnormal(x, *, scale, predict_normals, intermediate, pad_mode,
     return depth, normal
 
 
+def _resolve_head_flag(pallas: bool, pallas_head) -> bool:
+    """pallas_head=None follows `pallas`; True/False overrides it — so the
+    packed-tap head kernel can be measured (and defaulted) independently
+    of the factored-pair conv kernels."""
+    return pallas if pallas_head is None else pallas_head
+
+
 class _PredictFlow(nn.Module):
     pad_mode: str
     dtype: jnp.dtype = jnp.float32
@@ -154,6 +161,9 @@ class FlowBlock(nn.Module):
     variant: str = "v1"
     dtype: jnp.dtype = jnp.float32
     pallas: bool = False
+    # the packed-tap head kernel measured separately from the factored
+    # conv-pair kernels: None follows `pallas`, True/False overrides
+    pallas_head: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -222,7 +232,7 @@ class FlowBlock(nn.Module):
 
         top = conv5_1 if v1 else _dense_bottleneck(conv5_1, dtype=self.dtype)
 
-        flowconf5 = _PredictFlow(pad, self.dtype, self.pallas,
+        flowconf5 = _PredictFlow(pad, self.dtype, _resolve_head_flag(self.pallas, self.pallas_head),
                                  name="predict_flow5")(top)
         flowconf5to4 = _Upsample(2, self.dtype, name="upsample_flow5to4")(flowconf5)
         concat4 = _Refine(256, pad, self.dtype, name="refine4")(
@@ -230,7 +240,7 @@ class FlowBlock(nn.Module):
         )
         concat3 = _Refine(128, pad, self.dtype, name="refine3")(concat4, conv3_1)
         concat2 = _Refine(64, pad, self.dtype, name="refine2")(concat3, conv2_1)
-        flowconf2 = _PredictFlow(pad, self.dtype, self.pallas,
+        flowconf2 = _PredictFlow(pad, self.dtype, _resolve_head_flag(self.pallas, self.pallas_head),
                                  name="predict_flow2")(concat2)
 
         return {
@@ -252,6 +262,7 @@ class DepthMotionBlock(nn.Module):
     variant: str = "v1"
     dtype: jnp.dtype = jnp.float32
     pallas: bool = False
+    pallas_head: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -340,7 +351,7 @@ class DepthMotionBlock(nn.Module):
 
         depth2, normal2 = _PredictDepthNormal(
             pad, predict_normals=True, intermediate=24, dtype=self.dtype,
-            pallas=self.pallas, name="predict_depthnormal2",
+            pallas=_resolve_head_flag(self.pallas, self.pallas_head), name="predict_depthnormal2",
         )(concat2, scale)
 
         return {
@@ -361,6 +372,7 @@ class RefinementBlock(nn.Module):
     variant: str = "v1"
     dtype: jnp.dtype = jnp.float32
     pallas: bool = False
+    pallas_head: Optional[bool] = None
 
     @nn.compact
     def __call__(self, image1: jax.Array, depth2: jax.Array) -> Dict[str, jax.Array]:
@@ -383,7 +395,7 @@ class RefinementBlock(nn.Module):
 
         depth0, normal0 = _PredictDepthNormal(
             pad, predict_normals=not v1, intermediate=16, dtype=self.dtype,
-            pallas=self.pallas, name="predict_depth0",
+            pallas=_resolve_head_flag(self.pallas, self.pallas_head), name="predict_depth0",
         )(concat0, None)
         out = {"predict_depth0": depth0}
         if normal0 is not None:

@@ -49,13 +49,14 @@ class BootstrapNet(nn.Module):
     variant: str = "v1"
     dtype: jnp.dtype = jnp.float32
     pallas: bool = False
+    pallas_head: Optional[bool] = None
 
     @nn.compact
     def __call__(self, image_pair: jax.Array, image2_2: jax.Array) -> DemonPrediction:
-        flow_out = FlowBlock(self.variant, self.dtype, self.pallas, name="netFlow1")(image_pair)
+        flow_out = FlowBlock(self.variant, self.dtype, self.pallas, self.pallas_head, name="netFlow1")(image_pair)
         flow5, conf5 = _split_flowconf(flow_out["predict_flowconf5"])
         flow2, conf2 = _split_flowconf(flow_out["predict_flowconf2"])
-        dm = DepthMotionBlock(self.variant, self.dtype, self.pallas, name="netDM1")(
+        dm = DepthMotionBlock(self.variant, self.dtype, self.pallas, self.pallas_head, name="netDM1")(
             image_pair=image_pair,
             image2_2=image2_2,
             prev_flow2=flow2,
@@ -81,6 +82,7 @@ class IterativeNet(nn.Module):
     variant: str = "v1"
     dtype: jnp.dtype = jnp.float32
     pallas: bool = False
+    pallas_head: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -90,7 +92,7 @@ class IterativeNet(nn.Module):
         intrinsics: jax.Array,
         prev: DemonPrediction,
     ) -> DemonPrediction:
-        flow_out = FlowBlock(self.variant, self.dtype, self.pallas, name="netFlow2")(
+        flow_out = FlowBlock(self.variant, self.dtype, self.pallas, self.pallas_head, name="netFlow2")(
             image_pair,
             image2_2=image2_2,
             intrinsics=intrinsics,
@@ -103,7 +105,7 @@ class IterativeNet(nn.Module):
         )
         flow5, conf5 = _split_flowconf(flow_out["predict_flowconf5"])
         flow2, conf2 = _split_flowconf(flow_out["predict_flowconf2"])
-        dm = DepthMotionBlock(self.variant, self.dtype, self.pallas, name="netDM2")(
+        dm = DepthMotionBlock(self.variant, self.dtype, self.pallas, self.pallas_head, name="netDM2")(
             image_pair=image_pair,
             image2_2=image2_2,
             prev_flow2=flow2,
@@ -136,11 +138,12 @@ class RefinementNet(nn.Module):
     variant: str = "v1"
     dtype: jnp.dtype = jnp.float32
     pallas: bool = False
+    pallas_head: Optional[bool] = None
 
     @nn.compact
     def __call__(self, image1: jax.Array, depth2: jax.Array,
                  normal2: jax.Array = None):
         del normal2
-        return RefinementBlock(self.variant, self.dtype, self.pallas, name="netRefine")(
+        return RefinementBlock(self.variant, self.dtype, self.pallas, self.pallas_head, name="netRefine")(
             image1, depth2
         )

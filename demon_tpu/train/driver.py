@@ -91,7 +91,8 @@ class TrainingDriver:
                  saver_interval: int = 100_000,
                  recovery_interval: int = 5_000,
                  check_numerics_interval: int = 1_000,
-                 seed: int = 0, cache_dir: Optional[str] = None):
+                 seed: int = 0, cache_dir: Optional[str] = None,
+                 reader_workers: int = 0):
         self.train_dir = train_dir
         self.sources = list(sources)
         self.config = config or TrainConfig()
@@ -103,6 +104,10 @@ class TrainingDriver:
         self.check_numerics_interval = check_numerics_interval
         self.seed = seed
         self.cache_dir = cache_dir
+        # >0: feed from reader_workers processes over disjoint scene
+        # shards (data.mp_reader) instead of one threaded reader — the
+        # host-side scale-out path past the GIL convoy
+        self.reader_workers = reader_workers
         self.trainer = EvolutionTrainer(self.config, mesh=mesh)
 
     # ------------------------------------------------------------------
@@ -160,9 +165,16 @@ class TrainingDriver:
         logger = MetricsLogger(
             os.path.join(self.train_dir, evo, "metrics.jsonl"))
 
-        reader = MultiViH5DataReader(default_reader_params(
+        reader_params = default_reader_params(
             cfg, self.sources, evo, seed=self.seed,
-            cache_dir=self.cache_dir))
+            cache_dir=self.cache_dir)
+        if self.reader_workers > 0:
+            from ..data.mp_reader import MultiProcessReader
+
+            reader = MultiProcessReader(reader_params,
+                                        workers=self.reader_workers)
+        else:
+            reader = MultiViH5DataReader(reader_params)
         batches = device_prefetch(iter(reader), mesh=self.mesh)
 
         replay = None
