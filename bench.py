@@ -204,6 +204,86 @@ def bench_input():
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_serve_device():
+    """BENCH_MODE=serve_device: chip-side bucket latency — the serving
+    number with the tunnel/RPC transport excluded. For every power-of-two
+    bucket up to BENCH_MAXBATCH, runs the fused pipeline on
+    device-resident inputs under the jax profiler and reports per-run
+    p50/p99 of the program's device span (the time a production host
+    would wait on the chip per dispatched bucket)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from demon_tpu.engine.inference import DemonEngine
+    from demon_tpu.utils.trace_analysis import load_trace_events
+
+    max_batch = int(os.environ.get("BENCH_MAXBATCH", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
+
+    engine = DemonEngine(variant="v1", iterations=3, dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(engine.init, jax.random.key(0))
+    host_rng = np.random.RandomState(0)
+    params = jax.tree.map(
+        lambda s: jnp.asarray(
+            (host_rng.standard_normal(s.shape) * 0.05).astype(s.dtype)),
+        shapes)
+    params = engine.cast_params(params)
+
+    H, W = DemonEngine.HEIGHT, DemonEngine.WIDTH
+    rng = np.random.RandomState(0)
+
+    def device_spans(trace_dir):
+        """Per-run durations (ms) of the top-level program on the TPU."""
+        events = load_trace_events(trace_dir)
+        pids = {e["pid"]: e["args"].get("name", "") for e in events
+                if e.get("ph") == "M" and e.get("name") == "process_name"}
+        spans = [e["dur"] / 1000.0 for e in events
+                 if e.get("ph") == "X"
+                 and "TPU" in pids.get(e.get("pid"), "")
+                 and e.get("name", "").startswith("jit_")]
+        return np.sort(np.array(spans))
+
+    buckets = {}
+    b = 1
+    while b <= max_batch:
+        ip = jnp.asarray(rng.rand(b, H, W, 6).astype(np.float32) - 0.5)
+        i22 = jnp.asarray(
+            rng.rand(b, H // 4, W // 4, 3).astype(np.float32) - 0.5)
+
+        def run():
+            out = engine.predict(params, ip, i22)
+            return jnp.sum(out.depth_refined)
+
+        float(run())  # compile + settle
+        float(run())
+        with tempfile.TemporaryDirectory() as td:
+            with jax.profiler.trace(td):
+                last = None
+                for _ in range(iters):
+                    last = run()
+                float(last)
+            spans = device_spans(td)
+        if len(spans):
+            buckets[str(b)] = {
+                "p50_ms": round(float(np.percentile(spans, 50)), 3),
+                "p99_ms": round(float(np.percentile(spans, 99)), 3),
+                "runs": int(len(spans)),
+            }
+        b *= 2
+
+    head = buckets.get("1", {}).get("p50_ms", float("nan"))
+    print(json.dumps({
+        "metric": "demon_serve_device_bucket1_p50_ms",
+        "value": head,
+        "unit": "ms",
+        # reference: 5 sequential session.run calls per pair, ~400 ms
+        "vs_baseline": round(400.0 / head, 2) if head == head else 0,
+        "buckets": buckets,
+    }))
+
+
 def bench_serve():
     """BENCH_MODE=serve: DemonServer latency under closed-loop load.
 
@@ -283,6 +363,8 @@ def main():
         return bench_input()
     if os.environ.get("BENCH_MODE") == "serve":
         return bench_serve()
+    if os.environ.get("BENCH_MODE") == "serve_device":
+        return bench_serve_device()
     import jax
     import jax.numpy as jnp
 
