@@ -90,6 +90,25 @@ def held_out_table(results: Dict[str, dict]) -> List[str]:
             f"  {v[c]:12.4f}" if isinstance(v.get(c), (int, float))
             else f"  {'-':>12s}" for c in cols)
         lines.append(f"{k:{name_w}s}{cells}")
+        if isinstance(v.get("ema"), dict):
+            cells = "".join(
+                f"  {v['ema'][c]:12.4f}"
+                if isinstance(v["ema"].get(c), (int, float))
+                else f"  {'-':>12s}" for c in cols)
+            lines.append(f"{k + ' (ema)':{name_w}s}{cells}"
+                         if name_w >= len(k) + 6 else f"{k} (ema){cells}")
+    # per-iteration trajectories (the paper's core claim: metrics improve
+    # across network iterations) for the stages that recorded them
+    for k, v in stages:
+        pi = v.get("per_iteration")
+        if not isinstance(pi, dict):
+            continue
+        lines.append(f"{k} per-iteration (bootstrap -> iter3):")
+        for c in cols:
+            vals = pi.get(c)
+            if vals:
+                arrow = " -> ".join(f"{x:.3f}" for x in vals)
+                lines.append(f"  {short[c]:>12s}: {arrow}")
     return lines
 
 
@@ -100,9 +119,10 @@ def main():
     args = ap.parse_args()
     rows = summarize(args.train_dir, args.key)
     if not rows:
-        print(f"no metrics.jsonl under {args.train_dir}")
-        return
-    name_w = max(len(r["evolution"]) for r in rows)
+        # still fall through: a short run may have logged no display
+        # lines while its held-out eval json exists
+        print(f"no metrics.jsonl rows under {args.train_dir}")
+    name_w = max((len(r["evolution"]) for r in rows), default=0)
     for r in rows:
         rate = (f"  {r['samples_per_s']:7.1f} samples/s"
                 if r["samples_per_s"] is not None else "")
