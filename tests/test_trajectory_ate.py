@@ -1,0 +1,93 @@
+"""Trained-weights trajectory ATE regression (BASELINE.json config 4).
+
+The committed ATE numbers in BENCHMARKS.md come from a trained
+checkpoint, which is too large to commit; this test re-runs the full
+app-level pipeline (synthetic trajectory render -> engine pairwise
+inference -> chaining -> pose graph -> BA -> sim3-aligned ATE) whenever a
+trained engine export is available, and enforces the thresholds.
+
+Point DEMON_TRAINED_ENGINE at an exported engine checkpoint
+(experiments/export_trained_engine.py) to activate:
+
+    DEMON_TRAINED_ENGINE=experiments/convergence_layered/engine_v2 \\
+        python -m pytest tests/test_trajectory_ate.py -q
+
+Skipped (not failed) when the artifact is absent, so the suite stays
+green on a fresh clone; the convergence harness produces the artifact.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+ARTIFACT = os.environ.get("DEMON_TRAINED_ENGINE")
+
+pytestmark = pytest.mark.skipif(
+    not (ARTIFACT and os.path.isdir(ARTIFACT)),
+    reason="set DEMON_TRAINED_ENGINE to an exported trained engine "
+           "checkpoint (experiments/export_trained_engine.py)")
+
+# thresholds: the synthetic 30-frame trajectory at seed 0; values chosen
+# ~2x above the first trained-artifact measurement (BENCHMARKS.md round 3)
+# so regressions trip while run-to-run noise does not
+ATE_POSE_GRAPH_MAX = float(os.environ.get("DEMON_ATE_PG_MAX", "0.5"))
+ATE_BA_MAX = float(os.environ.get("DEMON_ATE_BA_MAX", "0.5"))
+
+
+@pytest.fixture(scope="module")
+def trajectory():
+    from demon_tpu.tools.synthetic import write_trajectory_frames
+
+    import glob
+
+    from PIL import Image
+
+    frames_dir = "/tmp/demon_traj_ate_seed0"
+    write_trajectory_frames(frames_dir, n_frames=30, seed=0)
+    paths = sorted(glob.glob(os.path.join(frames_dir, "*.png")))
+    H, W = 192, 256
+    images = np.stack([
+        np.asarray(Image.open(p).convert("RGB").resize((W, H),
+                                                       Image.BILINEAR),
+                   np.float32) / 255.0 - 0.5 for p in paths])
+    gt = np.loadtxt(os.path.join(frames_dir, "poses.txt")).reshape(-1, 3, 4)
+    return images, gt
+
+
+@pytest.fixture(scope="module")
+def params():
+    from demon_tpu.tools.converter import load_params
+
+    return load_params(ARTIFACT)
+
+
+def _ate(images, gt, params, run_ba):
+    from demon_tpu.engine.inference import DemonEngine
+    from demon_tpu.sfm.chaining import chain_sequence
+    from demon_tpu.sfm.trajectory import (absolute_trajectory_error,
+                                          camera_centers)
+
+    engine = DemonEngine(variant="v2", iterations=3)
+    result = chain_sequence(engine, params, images, run_ba=run_ba)
+    C = camera_centers(result["R"], result["t"])
+    C_gt = camera_centers(gt[:, :, :3], gt[:, :, 3])
+    return absolute_trajectory_error(C, C_gt, with_scale=True)
+
+
+def test_pose_graph_ate_threshold(trajectory, params):
+    images, gt = trajectory
+    ate = _ate(images, gt, params, run_ba=False)
+    print(f"pose-graph ATE: {ate:.4f}")
+    assert np.isfinite(ate)
+    assert ate < ATE_POSE_GRAPH_MAX
+
+
+def test_ba_improves_or_holds_ate(trajectory, params):
+    images, gt = trajectory
+    ate_pg = _ate(images, gt, params, run_ba=False)
+    ate_ba = _ate(images, gt, params, run_ba=True)
+    print(f"ATE pose-graph {ate_pg:.4f} -> +BA {ate_ba:.4f}")
+    assert ate_ba < ATE_BA_MAX
+    # BA must not make the trajectory materially worse
+    assert ate_ba <= ate_pg * 1.1 + 1e-3
