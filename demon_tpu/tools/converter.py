@@ -116,8 +116,22 @@ def save_params(params: Dict, out_dir: str) -> None:
 def load_params(ckpt_dir: str) -> Dict:
     import orbax.checkpoint as ocp
 
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(ckpt_dir))
+    path = os.path.abspath(ckpt_dir)
+    try:
+        return ocp.StandardCheckpointer().restore(path)
+    except ValueError:
+        # the checkpoint was saved on a device type absent here (e.g. a
+        # TPU-trained export restored on a CPU host): fall back to a raw
+        # numpy restore driven by the saved tree metadata
+        import jax
+
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(path)
+        tree = getattr(meta, "item_metadata", meta)
+        restore_args = jax.tree.map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+        return ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
 
 
 def main():

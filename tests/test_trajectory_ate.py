@@ -28,11 +28,11 @@ pytestmark = pytest.mark.skipif(
     reason="set DEMON_TRAINED_ENGINE to an exported trained engine "
            "checkpoint (experiments/export_trained_engine.py)")
 
-# thresholds: the synthetic 30-frame trajectory at seed 0; values chosen
-# ~2x above the first trained-artifact measurement (BENCHMARKS.md round 3)
-# so regressions trip while run-to-run noise does not
-ATE_POSE_GRAPH_MAX = float(os.environ.get("DEMON_ATE_PG_MAX", "0.5"))
-ATE_BA_MAX = float(os.environ.get("DEMON_ATE_BA_MAX", "0.5"))
+# thresholds: the synthetic 30-frame trajectory at seed 0; ~2x above the
+# round-3 trained-artifact measurement (pose-graph 0.512, +BA 0.501 —
+# BENCHMARKS.md) so regressions trip while run-to-run noise does not
+ATE_POSE_GRAPH_MAX = float(os.environ.get("DEMON_ATE_PG_MAX", "1.0"))
+ATE_BA_MAX = float(os.environ.get("DEMON_ATE_BA_MAX", "1.0"))
 
 
 @pytest.fixture(scope="module")
