@@ -142,7 +142,9 @@ def bench_input():
     threads = int(os.environ.get("BENCH_THREADS", "4"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "40"))
     n_scenes = int(os.environ.get("BENCH_SCENES", "24"))
-    batch = 32
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    bh = int(os.environ.get("BENCH_H", "192"))
+    bw = int(os.environ.get("BENCH_W", "256"))
 
     tmp = tempfile.mkdtemp(prefix="demon_input_bench_")
     try:
@@ -159,7 +161,7 @@ def bench_input():
                 f[f"s{s:03d}/frames/t0"].attrs["viewpoint_pairs"] = \
                     np.array([0, 1, 1, 0], np.int32)
         cache_dir = os.path.join(tmp, "cache")
-        build_scene_cache(path, cache_dir, 192, 256, verbose=False)
+        build_scene_cache(path, cache_dir, bh, bw, verbose=False)
 
         params = {
             "batch_size": batch,
@@ -168,8 +170,8 @@ def bench_input():
             "inverse_depth": True,
             "motion_format": "ANGLEAXIS6",
             "norm_trans_scale_depth": True,
-            "scaled_height": 192,
-            "scaled_width": 256,
+            "scaled_height": bh,
+            "scaled_width": bw,
             "scene_pool_size": 8,
             "augment_rot180": 0.5,
             "augment_mirror_x": 0.5,

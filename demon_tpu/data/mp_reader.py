@@ -69,7 +69,7 @@ def _slot_bytes(p: ReaderParams) -> int:
     return total + _ALIGN
 
 
-def _worker_main(params: ReaderParams, worker: int,
+def _worker_main(params: ReaderParams, worker: int, total_workers: int,
                  shm_name: str, slot_bytes: int,
                  free_q, result_q, quit_ev):
     """Worker process: full reader over its pre-assigned shard; copies
@@ -77,6 +77,17 @@ def _worker_main(params: ReaderParams, worker: int,
     reader = None
     shm = None
     try:
+        import os
+
+        # Each worker's native assembly runs an OpenMP team; left at the
+        # default (all host cores) W workers oversubscribe W*cores threads
+        # and convoy. Split the cores across workers unless the user set
+        # an explicit team size. Must happen before the native lib loads.
+        if "OMP_NUM_THREADS" not in os.environ:
+            cores = os.cpu_count() or 1
+            os.environ["OMP_NUM_THREADS"] = str(
+                max(1, cores // max(1, total_workers)))
+
         from .reader import MultiViH5DataReader
 
         p = params
@@ -171,7 +182,7 @@ class MultiProcessReader:
                 free_q.put(s)
             proc = self._ctx.Process(
                 target=_worker_main,
-                args=(wp, w, shm.name, self._slot_bytes,
+                args=(wp, w, workers, shm.name, self._slot_bytes,
                       free_q, self._result_q, self._quit),
                 daemon=True, name=f"demon-reader-worker-{w}")
             proc.start()
