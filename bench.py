@@ -46,7 +46,10 @@ def bench_train():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     compute_dtype = os.environ.get("BENCH_DTYPE", "float32")
-    cfg = TrainConfig(batch_size=batch, compute_dtype=compute_dtype)
+    flat_opt = os.environ.get("BENCH_FLAT", "0") == "1"
+    phased = os.environ.get("BENCH_PHASED", "0") == "1"
+    cfg = TrainConfig(batch_size=batch, compute_dtype=compute_dtype,
+                      flat_opt=flat_opt, phased_bwd=phased)
     trainer = EvolutionTrainer(cfg)
     shapes = jax.eval_shape(trainer.init_params, jax.random.key(0))
     host_rng = np.random.RandomState(0)
@@ -56,10 +59,10 @@ def bench_train():
         shapes)
     evo = os.environ.get("BENCH_EVO", "0_flow1")
     if evo >= "4_iterative":
+        import dataclasses
+
         batch = int(os.environ.get("BENCH_BATCH", str(cfg.batch_size_iterative)))
-        cfg = TrainConfig(batch_size=cfg.batch_size,
-                          batch_size_iterative=batch,
-                          compute_dtype=compute_dtype)
+        cfg = dataclasses.replace(cfg, batch_size_iterative=batch)
         trainer = EvolutionTrainer(cfg)
     opt_state = trainer.init_opt_state(evo, params)
     step_fn = trainer.make_train_step(evo)
@@ -101,11 +104,12 @@ def bench_train():
         dt = time.perf_counter() - t0
         samples_per_s = batch * iters / dt
     else:
-        replay = replay0
         params, opt_state, metrics, replay = step_fn(
-            params, opt_state, batch_data, step, replay)
+            params, opt_state, batch_data, step, replay0)
         float(metrics["total_loss"])  # compile fence
-        replay = replay0
+        # the step donates its replay argument — build a fresh carry for
+        # the timed loop instead of reusing the consumed replay0
+        replay = trainer.init_replay(evo, params, batch_data)
         t0 = time.perf_counter()
         for _ in range(iters):
             params, opt_state, metrics, replay = step_fn(

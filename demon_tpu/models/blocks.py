@@ -80,6 +80,9 @@ class _PredictFlow(nn.Module):
     pad_mode: str
     dtype: jnp.dtype = jnp.float32
     pallas: bool = False
+    # opt-in phase-decomposed bwd-data for stride-2 pairs (measured
+    # dead end on the round-3 chip; see models/layers.py convrelu2)
+    phased_bwd: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -93,6 +96,9 @@ class _PredictDepthNormal(nn.Module):
     intermediate: int = 24
     dtype: jnp.dtype = jnp.float32
     pallas: bool = False
+    # opt-in phase-decomposed bwd-data for stride-2 pairs (measured
+    # dead end on the round-3 chip; see models/layers.py convrelu2)
+    phased_bwd: bool = False
 
     @nn.compact
     def __call__(self, x, scale=None):
@@ -161,6 +167,9 @@ class FlowBlock(nn.Module):
     variant: str = "v1"
     dtype: jnp.dtype = jnp.float32
     pallas: bool = False
+    # opt-in phase-decomposed bwd-data for stride-2 pairs (measured
+    # dead end on the round-3 chip; see models/layers.py convrelu2)
+    phased_bwd: bool = False
     # the packed-tap head kernel measured separately from the factored
     # conv-pair kernels: None follows `pallas`, True/False overrides
     pallas_head: Optional[bool] = None
@@ -175,7 +184,8 @@ class FlowBlock(nn.Module):
     ) -> Dict[str, jax.Array]:
         v1 = self.variant == "v1"
         pad = "caffe" if v1 else "same"
-        cp = dict(pad_mode=pad, dtype=self.dtype, pallas=self.pallas)
+        cp = dict(pad_mode=pad, dtype=self.dtype, pallas=self.pallas,
+                  phased_bwd=self.phased_bwd)
 
         conv1 = convrelu2(image_pair, 32 if v1 else (24, 32), 9, name="conv1",
                           stride=2, **cp)
@@ -262,6 +272,9 @@ class DepthMotionBlock(nn.Module):
     variant: str = "v1"
     dtype: jnp.dtype = jnp.float32
     pallas: bool = False
+    # opt-in phase-decomposed bwd-data for stride-2 pairs (measured
+    # dead end on the round-3 chip; see models/layers.py convrelu2)
+    phased_bwd: bool = False
     pallas_head: Optional[bool] = None
 
     @nn.compact
@@ -277,7 +290,8 @@ class DepthMotionBlock(nn.Module):
     ) -> Dict[str, jax.Array]:
         v1 = self.variant == "v1"
         pad = "caffe" if v1 else "same"
-        cp = dict(pad_mode=pad, dtype=self.dtype, pallas=self.pallas)
+        cp = dict(pad_mode=pad, dtype=self.dtype, pallas=self.pallas,
+                  phased_bwd=self.phased_bwd)
 
         conv1 = convrelu2(image_pair, 32 if v1 else (24, 32), 9, name="conv1",
                           stride=2, **cp)
@@ -372,13 +386,17 @@ class RefinementBlock(nn.Module):
     variant: str = "v1"
     dtype: jnp.dtype = jnp.float32
     pallas: bool = False
+    # opt-in phase-decomposed bwd-data for stride-2 pairs (measured
+    # dead end on the round-3 chip; see models/layers.py convrelu2)
+    phased_bwd: bool = False
     pallas_head: Optional[bool] = None
 
     @nn.compact
     def __call__(self, image1: jax.Array, depth2: jax.Array) -> Dict[str, jax.Array]:
         v1 = self.variant == "v1"
         pad = "caffe" if v1 else "same"
-        cp = dict(pad_mode=pad, dtype=self.dtype, pallas=self.pallas)
+        cp = dict(pad_mode=pad, dtype=self.dtype, pallas=self.pallas,
+                  phased_bwd=self.phased_bwd)
 
         H, W = image1.shape[1], image1.shape[2]
         depth_up = ops.resize_nearest(depth2, H, W)

@@ -19,6 +19,7 @@ checkpoint maps 1:1 onto the flax param tree (see tools/converter.py).
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Sequence, Tuple, Union
 
 import flax.linen as nn
@@ -30,6 +31,83 @@ from ..ops import leaky_relu
 
 def _pair(v) -> Tuple[int, int]:
     return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
+
+
+def _tf_same_pad_s2(size: int, k: int) -> Tuple[int, int]:
+    """TF 'SAME' padding (lo, hi) for a stride-2 window of size k."""
+    out = -(-size // 2)
+    tot = max((out - 1) * 2 + k - size, 0)
+    return tot // 2, tot - tot // 2
+
+
+@lru_cache(maxsize=None)
+def _phased_axis_conv(axis: int, k: int, pad_lo: int, pad_hi: int):
+    """Stride-2 conv along `axis` (1=H, 2=W; kernel k x 1 resp. 1 x k) with
+    a phase-decomposed data gradient.
+
+    Forward is the ordinary lax conv (bit-identical to nn.Conv). The
+    backward-data pass is where XLA's derived gradient hurts on TPU: it
+    emits a conv over the 2x input-dilated cotangent — a 50%-zeros operand
+    the MXU chews at less than half forward efficiency (profiled 2.4x the
+    forward time on the evo-4 step's conv1/conv2 layers). Like PhaseUpconv
+    does for the model's explicit transpose convs, decompose by output
+    phase instead:
+
+        dx[2j + r] = sum_u w[2u + r + pad_lo] * dy[j - u]
+
+    i.e. per phase r a dense stride-1 correlation of dy with the reversed
+    tap subset — no zeros, same FLOPs as the forward. The weight gradient
+    keeps XLA's own formulation (jax.vjp of the raw conv), and the math is
+    element-identical to the derived gradient (tests/test_layers_phased.py).
+    """
+    stride = (2, 1) if axis == 1 else (1, 2)
+    pad = [(pad_lo, pad_hi), (0, 0)] if axis == 1 else \
+          [(0, 0), (pad_lo, pad_hi)]
+
+    def raw(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=stride, padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    @jax.custom_vjp
+    def conv(x, w, b):
+        return raw(x, w) + b
+
+    def fwd(x, w, b):
+        return conv(x, w, b), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        cin, cout = w.shape[2], w.shape[3]
+        wk = w.reshape(k, cin, cout)  # taps along the strided axis
+        phases = []
+        for r in (0, 1):
+            u_min = -((r + pad_lo) // 2)
+            u_max = (k - 1 - r - pad_lo) // 2
+            taps = [2 * u + r + pad_lo for u in range(u_min, u_max + 1)]
+            K = jnp.stack([wk[t] for t in reversed(taps)], 0)
+            Kd = jnp.transpose(K, (0, 2, 1))  # [K_r, Cout, Cin]
+            if axis == 1:
+                Kd = Kd[:, None]
+                p = [(u_max, -u_min), (0, 0)]
+            else:
+                Kd = Kd[None, :]
+                p = [(0, 0), (u_max, -u_min)]
+            phases.append(jax.lax.conv_general_dilated(
+                g, Kd, (1, 1), p,
+                dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        y = jnp.stack(phases, axis=axis + 1)
+        shp = list(g.shape)
+        shp[axis] *= 2
+        shp[-1] = cin
+        dx = y.reshape(shp)
+        _, wvjp = jax.vjp(lambda w_: raw(x, w_), w)
+        dw, = wvjp(g)
+        db = g.sum((0, 1, 2))
+        return dx, dw, db
+
+    conv.defvjp(fwd, bwd)
+    return conv
 
 
 def _kernel_init():
@@ -72,13 +150,14 @@ class Conv2D(nn.Module):
 
 
 def conv2d(x, features, kernel, *, name, pad_mode, stride=1, dtype=jnp.float32,
-           activate=False, pallas=False):
+           activate=False, pallas=False, phased_bwd=False):
     """Functional helper usable inside a parent @nn.compact context.
 
     Creates an unwrapped nn.Conv named `name` (matching the reference's
     tf.layers.conv2d variable scope). `pallas` is accepted for call-site
-    uniformity with convrelu2 and ignored (single convs stay on XLA)."""
-    del pallas
+    uniformity with convrelu2 and ignored (single convs stay on XLA); so
+    is `phased_bwd` (it only applies to the factored stride-2 pairs)."""
+    del pallas, phased_bwd
     ky, kx = _pair(kernel)
     sy, sx = _pair(stride)
     if pad_mode == "caffe":
@@ -98,9 +177,9 @@ def conv2d(x, features, kernel, *, name, pad_mode, stride=1, dtype=jnp.float32,
 
 
 def convrelu(x, features, kernel, *, name, pad_mode, stride=1, dtype=jnp.float32,
-             pallas=False):
+             pallas=False, phased_bwd=False):
     """conv + leaky-ReLU (reference helpers.py:97-102 / v2/helpers.py:38-43)."""
-    del pallas
+    del pallas, phased_bwd
     return conv2d(
         x, features, kernel, name=name, pad_mode=pad_mode, stride=stride,
         dtype=dtype, activate=True,
@@ -135,7 +214,7 @@ def _pallas_pair_fits(x, fy, fx, kernel, dtype) -> bool:
 
 
 def convrelu2(x, features, kernel, *, name, pad_mode, stride=1,
-              dtype=jnp.float32, pallas=False):
+              dtype=jnp.float32, pallas=False, phased_bwd=False):
     """Factored (ky,1)+(1,kx) conv pair, leaky-ReLU after each
     (reference helpers.py:105-153, v2/helpers.py:46-91).
 
@@ -144,6 +223,12 @@ def convrelu2(x, features, kernel, *, name, pad_mode, stride=1,
     (ops/pallas_conv.py) when the shape qualifies: channel dim >= 32
     (lane-padding economics) and the working set fits VMEM. Parameter
     tree is identical either way. Inference-only (no custom VJP).
+    phased_bwd=True swaps the stride-2 pair's data gradient for the
+    phase-decomposed formulation (_phased_axis_conv) — math-identical
+    (tests/test_layers_phased.py) but MEASURED SLOWER end-to-end on the
+    chip (evo-4 bf16 train step: 367 -> 174 samples/s; the custom-VJP
+    boundaries cost more fusion than the dilated-conv gradient costs MXU
+    zeros), so it stays opt-in as a measured dead end.
     """
     fy, fx = _pair(features)
     if pallas and x.shape[-1] >= 32 and stride in (1, 2) \
@@ -156,6 +241,25 @@ def convrelu2(x, features, kernel, *, name, pad_mode, stride=1,
             x.astype(dtype), wy.astype(dtype), by.astype(dtype),
             wx.astype(dtype), bx.astype(dtype),
             k=kernel, stride=stride, pad_mode=pad_mode)
+    if phased_bwd and stride == 2 and kernel % 2 == 1 \
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        # stride-2 factored pair with the phase-decomposed data gradient
+        # (_phased_axis_conv): forward identical to nn.Conv, backward-data
+        # avoids the input-dilated conv XLA derives. Params via _ConvParams
+        # keep the exact nn.Conv tree.
+        wy, by = _ConvParams((kernel, 1, x.shape[-1], fy), name=name + "y")()
+        wx, bx = _ConvParams((1, kernel, fy, fx), name=name + "x")()
+        if pad_mode == "caffe":
+            py = px = (kernel // 2, kernel // 2)
+        else:
+            py = _tf_same_pad_s2(x.shape[1], kernel)
+            px = _tf_same_pad_s2(x.shape[2], kernel)
+        y = _phased_axis_conv(1, kernel, *py)(
+            x.astype(dtype), wy.astype(dtype), by.astype(dtype))
+        y = leaky_relu(y)
+        y = _phased_axis_conv(2, kernel, *px)(
+            y, wx.astype(dtype), bx.astype(dtype))
+        return leaky_relu(y)
     if pad_mode == "caffe":
         p = kernel // 2
         pad_y = ((p, p), (0, 0))

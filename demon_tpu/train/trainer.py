@@ -131,6 +131,22 @@ class TrainConfig:
     # each optimizer update (optax.MultiSteps) — the >HBM-batch recipe.
     # The LR schedule and max_iter then count *effective* updates.
     accum_steps: int = 1
+    # Run the clip/Adam/LR core over ONE flat parameter vector
+    # (optax.flatten) instead of ~100 per-kernel tensors. Same math,
+    # element for element (tests/test_train_features.py), and it looked
+    # like the fix for the profiled 3.94 ms/step of scattered per-leaf
+    # Adam fusions — but MEASURED SLOWER on the chip (evo-4 bf16:
+    # 367 -> 198 samples/s; the ravel/unravel relayouts of ~100 tiled
+    # tensors cost more than the fusions they replace). Kept as an
+    # opt-in knob with the measurement recorded (BENCHMARKS.md round-3
+    # evo-4 section); the optimizer-state pytree changes shape, so
+    # checkpoints are not interchangeable across this flag.
+    flat_opt: bool = False
+    # Opt-in phase-decomposed data gradient for the stride-2 conv pairs
+    # (models/layers.py convrelu2 phased_bwd) — measured dead end on the
+    # round-3 chip, kept off; see BENCHMARKS.md "evolution-4 profile
+    # attack". Forward is bit-identical either way.
+    phased_bwd: bool = False
     # Ablation knob for evolution 4's training distribution: True keeps the
     # reference mix of 1 fresh batch + 3 recycled prediction batches
     # (training.py:278-320); False feeds 4x fresh rows with netDM1
@@ -188,9 +204,11 @@ class EvolutionTrainer:
         v = config.variant
         dt = (jnp.bfloat16 if config.compute_dtype == "bfloat16"
               else jnp.float32)
-        self.flow_block = FlowBlock(variant=v, dtype=dt)
-        self.dm_block = DepthMotionBlock(variant=v, dtype=dt)
-        self.refine_block = RefinementBlock(variant=v, dtype=dt)
+        pb = config.phased_bwd
+        self.flow_block = FlowBlock(variant=v, dtype=dt, phased_bwd=pb)
+        self.dm_block = DepthMotionBlock(variant=v, dtype=dt, phased_bwd=pb)
+        self.refine_block = RefinementBlock(variant=v, dtype=dt,
+                                            phased_bwd=pb)
         self._step_fns: Dict[str, Any] = {}
 
     # ------------------------------------------------------------------
@@ -242,11 +260,18 @@ class EvolutionTrainer:
         cfg = self.config
         lr = partial(demon_lr_schedule, base_lr=cfg.base_lr[evo],
                      max_iter=cfg.max_iter[evo])
-        links = [
+        core = optax.chain(
             optax.clip(cfg.grad_clip),
             optax.scale_by_adam(eps=cfg.adam_eps),
             optax.scale_by_learning_rate(lr),
-        ]
+        )
+        if cfg.flat_opt:
+            # clip/Adam/LR are elementwise, so flattening is math-identical;
+            # it collapses ~100 per-kernel update fusions into one (see the
+            # flat_opt field note). The EMA link stays outside — it needs
+            # the shaped params.
+            core = optax.flatten(core)
+        links = [core]
         if cfg.ema_decay:
             links.append(_params_ema(cfg.ema_decay))
         tx = optax.chain(*links)
@@ -601,6 +626,13 @@ class EvolutionTrainer:
                 cfg.base_lr[evo], cfg.max_iter[evo])
             return new_params, opt_state, metrics, new_replay
 
+        # donate params + opt state only. Donating the evo-4 replay carry
+        # (argnum 4) was tried in round 3 and reverted: never a measured
+        # win (neutral within noise when combined with the phased-bwd
+        # experiment, 175 vs 174 samples/s; every measured combination of
+        # that round's step-level changes regressed — BENCHMARKS.md
+        # "evolution-4 profile attack"), and it breaks callers that
+        # legitimately reuse a carry (bench warmup, tests).
         jitted = jax.jit(step_fn, donate_argnums=(0, 1))
         self._step_fns[evo] = jitted
         return jitted

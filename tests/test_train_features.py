@@ -174,3 +174,30 @@ def test_grad_accumulation_matches_large_batch():
         x, y = np.asarray(x), np.asarray(y)
         bad = np.abs(x - y) > 2e-5 + 2e-3 * np.abs(y)
         assert bad.mean() < 1e-3, (bad.sum(), x.size)
+
+
+def test_flat_opt_matches_per_leaf():
+    """flat_opt=True (one optax.flatten'd clip/Adam/LR fusion over the
+    raveled trainable vector) must produce the same step as the per-leaf
+    chain — clip/Adam/LR are elementwise, so flattening is math-identical."""
+    h = w = 64
+    evo = "0_flow1"
+    rng_a, rng_b = np.random.RandomState(7), np.random.RandomState(7)
+    results = []
+    for flat in (False, True):
+        cfg = TrainConfig(height=h, width=w, batch_size=2, flat_opt=flat)
+        tr = EvolutionTrainer(cfg)
+        p = _params(tr)
+        o = tr.init_opt_state(evo, p)
+        step_fn = tr.make_train_step(evo)
+        rng = rng_a if not flat else rng_b
+        for s in range(3):
+            p, o, metrics, _ = step_fn(p, o, _batch(rng, 2, h, w),
+                                       jnp.asarray(s, jnp.int32), None)
+        results.append((jax.tree.map(np.asarray, p),
+                        float(metrics["total_loss"])))
+    (p_leaf, loss_leaf), (p_flat, loss_flat) = results
+    assert loss_leaf == loss_flat
+    for x, y in zip(jax.tree_util.tree_leaves(p_leaf),
+                    jax.tree_util.tree_leaves(p_flat)):
+        np.testing.assert_allclose(x, y, rtol=1e-6, atol=1e-7)
