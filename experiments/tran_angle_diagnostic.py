@@ -47,12 +47,27 @@ def main():
     ap.add_argument("--out",
                     default=os.path.join(os.path.dirname(__file__),
                                          "tran_angle_bins.json"))
+    ap.add_argument("--bins", default=None,
+                    help="override bins: comma-separated lo:hi pairs, "
+                         "e.g. '0.16:0.30,0.30:0.45'")
+    # the JAX_PLATFORMS env var is pre-claimed by sitecustomize on the
+    # dev host — forcing CPU needs jax.config.update before any jax use
+    ap.add_argument("--platform", default=None,
+                    choices=("cpu",),
+                    help="force a jax platform (tests use cpu)")
     args = ap.parse_args()
+
+    bins = BINS
+    if args.bins:
+        bins = tuple(tuple(float(x) for x in b.split(":"))
+                     for b in args.bins.split(","))
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "..", ".jax_cache")
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
@@ -70,7 +85,7 @@ def main():
 
     tmpdir = tempfile.mkdtemp(prefix="tran_bins_")
     results = []
-    for bi, (lo, hi) in enumerate(BINS):
+    for bi, (lo, hi) in enumerate(bins):
         h5 = write_dataset(
             os.path.join(tmpdir, f"bin{bi}.h5"), args.scenes_per_bin,
             seed=9000 + bi,  # held out: train seed 0, test seed 777
