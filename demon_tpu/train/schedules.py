@@ -11,15 +11,23 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _ramp_fraction(t, duration):
+    """t/duration clamped to [0,1]; duration <= 0 (possible via the
+    `max_iter // 3` ramp windows at smoke-test-scale max_iter) means the
+    ramp is already complete, not 0/0 = NaN."""
+    x = jnp.clip(t / jnp.maximum(duration, 1e-30), 0.0, 1.0)
+    return jnp.where(duration > 0, x, 1.0)
+
+
 def ease_in_quad(t, start, change, duration):
     """start + change * (t/d)^2, clamped; t<0 gives start."""
-    x = jnp.clip(t / duration, 0.0, 1.0)
+    x = _ramp_fraction(t, duration)
     return start + change * x * x
 
 
 def ease_out_quad(t, start, change, duration):
     """start - change * (t/d) * (t/d - 2), clamped."""
-    x = jnp.clip(t / duration, 0.0, 1.0)
+    x = _ramp_fraction(t, duration)
     return start - change * x * (x - 2.0)
 
 

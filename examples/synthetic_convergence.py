@@ -152,6 +152,25 @@ def evaluate_params(engine, trainer_params, test_h5, batch_size=16):
     return result
 
 
+def _parse_baseline_bins(spec: str):
+    """Parse 'lo:hi:weight,...' into [(lo, hi, weight)] with validation."""
+    bins = []
+    for b in spec.split(","):
+        parts = b.split(":")
+        if len(parts) != 3:
+            raise SystemExit(
+                f"--baseline-bins entry {b!r} must be lo:hi:weight")
+        lo, hi, wt = (float(x) for x in parts)
+        if not (0.0 < lo < hi) or wt < 0.0:
+            raise SystemExit(
+                f"--baseline-bins entry {b!r}: need 0 < lo < hi and "
+                f"weight >= 0")
+        bins.append((lo, hi, wt))
+    if not any(wt > 0 for _, _, wt in bins):
+        raise SystemExit("--baseline-bins: all weights are zero")
+    return bins
+
+
 def _train_chunked(args, evo: str, cap: int) -> None:
     """Run `cap` steps of `evo` in child processes of at most
     --steps-per-process steps each (each resumes from the latest
@@ -181,6 +200,11 @@ def _train_chunked(args, evo: str, cap: int) -> None:
                "--_train-until", str(target)]
         if not args.scale_schedule:
             cmd.append("--no-scale-schedule")
+        if args.baseline_bins:
+            cmd += ["--baseline-bins", args.baseline_bins]
+        if args.platform:
+            cmd += ["--platform", args.platform]
+        cmd += ["--seed", str(args.seed)]
         r = subprocess.run(cmd)
         if r.returncode != 0:
             raise RuntimeError(
@@ -210,6 +234,11 @@ def main():
                     help="per-evolution step caps (6 comma-separated)")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--batch-iterative", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="master seed: train-scene generation, parameter "
+                         "init and reader shuffling all derive from it "
+                         "(the held-out test set stays at its fixed seed "
+                         "so metrics are comparable across seeds)")
     ap.add_argument("--compute-dtype", default="float32",
                     choices=("float32", "bfloat16"),
                     help="bfloat16 = mixed-precision training (bf16 conv "
@@ -218,6 +247,18 @@ def main():
                     help="scene baseline range min,max — larger baselines "
                          "condition translation direction better "
                          "(tools/synthetic.py)")
+    ap.add_argument("--baseline-bins", default=None,
+                    help="baseline-biased pair sampling: comma-separated "
+                         "lo:hi:weight bins (e.g. "
+                         "'0.08:0.16:0.1,0.16:0.3:0.2,0.3:0.45:0.35,"
+                         "0.45:0.7:0.35'). Generates one train h5 per bin "
+                         "(--train-scenes split evenly) fed as weighted "
+                         "reader sources — the reference's per-baseline-"
+                         "range dataset files + add_sources weighting "
+                         "(generate_sun3d_train_datasets.py:131-150, "
+                         "training.py:96-116). The held-out test set still "
+                         "uses --baseline, so headline metrics stay "
+                         "comparable across runs.")
     ap.add_argument("--max-rotation", type=float, default=0.08)
     ap.add_argument("--style", default="smooth",
                     choices=("smooth", "layered"),
@@ -258,6 +299,11 @@ def main():
                          "Bounds the dev tunnel's per-transfer host-memory "
                          "leak (BENCHMARKS.md 'environment quirks'); "
                          "0 = train in-process (production hosts)")
+    ap.add_argument("--platform", default=None, choices=("cpu",),
+                    help="force a jax platform (smoke tests use cpu; the "
+                         "JAX_PLATFORMS env var is pre-claimed by "
+                         "sitecustomize on the dev host so only "
+                         "jax.config.update works)")
     ap.add_argument("--_train-evo", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--_train-until", type=int, default=None,
                     help=argparse.SUPPRESS)
@@ -266,6 +312,9 @@ def main():
 
     _enable_compilation_cache()
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from demon_tpu.data.cache import build_scene_cache
     from demon_tpu.engine.inference import DemonEngine
@@ -279,18 +328,33 @@ def main():
 
     print("generating datasets...", flush=True)
     baseline = tuple(float(b) for b in args.baseline.split(","))
-    train_h5 = write_dataset(os.path.join(args.out, "synthetic_train.h5"),
-                             args.train_scenes, seed=0, verbose=True,
-                             max_rotation=args.max_rotation,
-                             baseline_range=baseline,
-                             style=args.style, n_views=args.n_views)
+    if args.baseline_bins:
+        bins = _parse_baseline_bins(args.baseline_bins)
+        per_bin = max(1, args.train_scenes // len(bins))
+        sources = []
+        for i, (lo, hi, wt) in enumerate(bins):
+            p = write_dataset(
+                os.path.join(args.out, f"synthetic_train_bin{i}.h5"),
+                per_bin, seed=100 + 1000 * args.seed + i, verbose=True,
+                max_rotation=args.max_rotation, baseline_range=(lo, hi),
+                style=args.style, n_views=args.n_views)
+            sources.append({"path": p, "weight": [{"t": 0, "v": wt}]})
+    else:
+        train_h5 = write_dataset(
+            os.path.join(args.out, "synthetic_train.h5"),
+            args.train_scenes, seed=args.seed, verbose=True,
+            max_rotation=args.max_rotation,
+            baseline_range=baseline,
+            style=args.style, n_views=args.n_views)
+        sources = [{"path": train_h5, "weight": [{"t": 0, "v": 1.0}]}]
     test_h5 = write_dataset(os.path.join(args.out, "synthetic_test.h5"),
                             args.test_scenes, seed=777,
                             max_rotation=args.max_rotation,
                             baseline_range=baseline,
                             style=args.style, n_views=args.n_views)
     cache_dir = os.path.join(args.out, "cache")
-    build_scene_cache(train_h5, cache_dir, 192, 256, verbose=False)
+    for src in sources:
+        build_scene_cache(src["path"], cache_dir, 192, 256, verbose=False)
     print("datasets ready", flush=True)
 
     def make_cfg(replay: str) -> TrainConfig:
@@ -311,13 +375,14 @@ def main():
     def make_driver(cfg: TrainConfig, train_dir_name: str) -> TrainingDriver:
         return TrainingDriver(
             train_dir=os.path.join(args.out, train_dir_name),
-            sources=[{"path": train_h5, "weight": [{"t": 0, "v": 1.0}]}],
+            sources=sources,
             config=cfg,
             display_interval=50,
             saver_interval=100_000,
             recovery_interval=1_000,
             check_numerics_interval=500,
             cache_dir=cache_dir,
+            seed=args.seed,
         )
 
     cfg = make_cfg(args.replay)
@@ -333,7 +398,7 @@ def main():
 
     results = {}
     t0 = time.time()
-    init_params = driver.trainer.init_params(jax.random.key(0))
+    init_params = driver.trainer.init_params(jax.random.key(args.seed))
     print("evaluating at init...", flush=True)
     eval_bs = min(args.batch, args.test_scenes)
     results["init"] = evaluate_params(engine, init_params, test_h5,
@@ -354,7 +419,7 @@ def main():
             from demon_tpu.train.checkpoint import EvolutionCheckpointer
 
             ck = EvolutionCheckpointer(drv.train_dir, evo)
-            seed = drv.trainer.init_params(jax.random.key(0))
+            seed = drv.trainer.init_params(jax.random.key(args.seed))
             if args.ema:
                 _, restored = ck.restore(
                     {"params": seed,

@@ -201,3 +201,17 @@ def test_flat_opt_matches_per_leaf():
     for x, y in zip(jax.tree_util.tree_leaves(p_leaf),
                     jax.tree_util.tree_leaves(p_flat)):
         np.testing.assert_allclose(x, y, rtol=1e-6, atol=1e-7)
+
+
+def test_easing_degenerate_duration_is_finite():
+    """max_iter // 3 == 0 at smoke-test-scale max_iter must mean
+    'ramp already complete', not 0/0 = NaN (schedules._ramp_fraction)."""
+    from demon_tpu.train.schedules import ease_in_quad, ease_out_quad
+
+    for dur in (0, 0.0):
+        lvl5 = ease_in_quad(jnp.float32(0.0), 1.0, -1.0, dur)
+        sig = ease_out_quad(jnp.float32(0.0), 0.0, 10.0, dur)
+        assert np.isfinite(float(lvl5)) and float(lvl5) == 0.0
+        assert np.isfinite(float(sig)) and float(sig) == 10.0
+    # sane interior values are unchanged
+    assert float(ease_in_quad(jnp.float32(5.0), 1.0, -1.0, 10.0)) == 0.75
