@@ -35,6 +35,36 @@ BINS = ((0.04, 0.08), (0.08, 0.16), (0.16, 0.30), (0.30, 0.45),
         (0.45, 0.70))
 
 
+def _bin_seed(lo: float, hi: float) -> int:
+    """Deterministic scene seed for a bin, derived from its BOUNDS (not
+    its position in a possibly-subset --bins list), so a subset rerun
+    evaluates the same scenes as the same bin in the full run. Canonical
+    BINS keep the full run's historical seeds 9000+index."""
+    for i, b in enumerate(BINS):
+        if b == (lo, hi):
+            return 9000 + i
+    return 9500 + int(round(lo * 100)) * 100 + int(round(hi * 100))
+
+
+def _parse_bins(spec: str):
+    bins = []
+    for b in spec.split(","):
+        parts = b.split(":")
+        if len(parts) != 2:
+            raise argparse.ArgumentTypeError(
+                f"--bins entry {b!r} must be lo:hi")
+        try:
+            lo, hi = float(parts[0]), float(parts[1])
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"--bins entry {b!r}: bounds must be floats")
+        if not lo < hi:
+            raise argparse.ArgumentTypeError(
+                f"--bins entry {b!r}: need lo < hi")
+        bins.append((lo, hi))
+    return tuple(bins)
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--engine",
@@ -47,9 +77,11 @@ def main():
     ap.add_argument("--out",
                     default=os.path.join(os.path.dirname(__file__),
                                          "tran_angle_bins.json"))
-    ap.add_argument("--bins", default=None,
+    ap.add_argument("--bins", default=None, type=_parse_bins,
                     help="override bins: comma-separated lo:hi pairs, "
-                         "e.g. '0.16:0.30,0.30:0.45'")
+                         "e.g. '0.16:0.30,0.30:0.45' (scene seeds derive "
+                         "from the bounds, so subset reruns reproduce the "
+                         "full run's numbers)")
     # the JAX_PLATFORMS env var is pre-claimed by sitecustomize on the
     # dev host — forcing CPU needs jax.config.update before any jax use
     ap.add_argument("--platform", default=None,
@@ -57,10 +89,7 @@ def main():
                     help="force a jax platform (tests use cpu)")
     args = ap.parse_args()
 
-    bins = BINS
-    if args.bins:
-        bins = tuple(tuple(float(x) for x in b.split(":"))
-                     for b in args.bins.split(","))
+    bins = args.bins if args.bins else BINS
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "..", ".jax_cache")
@@ -83,12 +112,15 @@ def main():
     params = load_params(args.engine)
     n_iters = engine.iterations + 1
 
-    tmpdir = tempfile.mkdtemp(prefix="tran_bins_")
+    tmp_ctx = tempfile.TemporaryDirectory(prefix="tran_bins_")
+    tmpdir = tmp_ctx.name
     results = []
     for bi, (lo, hi) in enumerate(bins):
         h5 = write_dataset(
             os.path.join(tmpdir, f"bin{bi}.h5"), args.scenes_per_bin,
-            seed=9000 + bi,  # held out: train seed 0, test seed 777
+            # held out: train seed 0, test seed 777; derived from the bin
+            # BOUNDS so --bins subsets reproduce the full run
+            seed=_bin_seed(lo, hi),
             max_rotation=args.max_rotation, baseline_range=(lo, hi),
             style="layered", n_views=2)
         reader_params = {
@@ -123,9 +155,20 @@ def main():
                             batch["MOTION"][i], True)
                         rot[it].append(re_)
                         tran[it].append(ta)
+        # at n_views=2 the deterministic test phase serves exactly one
+        # pair per scene — a short read would silently skew the stats
+        if len(tran[0]) != args.scenes_per_bin:
+            raise RuntimeError(
+                f"bin [{lo},{hi}): reader produced {len(tran[0])} pairs, "
+                f"expected {args.scenes_per_bin}")
+        n_nan = int(sum(np.isnan(tran[it]).sum() for it in range(n_iters)))
+        if n_nan:
+            print(f"  WARNING bin [{lo},{hi}): {n_nan} NaN translation "
+                  f"angles dropped from the averages", flush=True)
         row = {
             "baseline_lo": lo, "baseline_hi": hi,
             "n_pairs": len(tran[0]),
+            "n_nan_tran": n_nan,
             "tran_angle_per_iter": [float(np.nanmean(tran[it]))
                                     for it in range(n_iters)],
             "tran_angle_median_final": float(np.nanmedian(tran[-1])),
@@ -144,6 +187,7 @@ def main():
         json.dump({"bins": results, "engine": args.engine,
                    "scenes_per_bin": args.scenes_per_bin}, f, indent=1)
     print(f"wrote {args.out}")
+    tmp_ctx.cleanup()
 
 
 if __name__ == "__main__":
