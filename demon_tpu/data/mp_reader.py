@@ -26,9 +26,16 @@ the pipe's syscall traffic — and the parent-side copy is the only
 serialized section (~1-2 ms/batch), so the design scales until that
 memcpy saturates (>10k samples/s at 192x256 batch 16).
 
-Deterministic test phase stays on the in-process reader by contract
-(exact one-pass coverage is a single-stream property); this class is the
-throughput path for training.
+Deterministic test phase (round 4): exact one-pass coverage at W > 1 via
+batch-block sharding. The global sorted group sequence is cut into
+blocks of `batch_size`; worker w owns blocks ≡ w (mod W)
+(ReaderParams.shard_batch_blocks), each worker serves exactly its own
+blocks in order, and the parent interleaves workers round-robin — so the
+emitted batch stream is a deterministic partition of the single-reader
+stream with every sample seen exactly once, under the reference's
+num_samples % batch_size == 0 contract (multivih5datareader.cpp:
+2026-2054). Composes with multi-host sharding the same way training
+does: host h's worker w serves block shard h*W+w of H*W.
 """
 
 from __future__ import annotations
@@ -93,7 +100,13 @@ def _worker_main(params: ReaderParams, worker: int, total_workers: int,
         p = params
         shm = shared_memory.SharedMemory(name=shm_name)
         reader = MultiViH5DataReader(p)
+        n_sent = 0
         while not quit_ev.is_set():
+            # deterministic test shard: serve exactly this worker's
+            # batches of the one-pass stream, then exit cleanly
+            if reader.test_iterations >= 0 \
+                    and n_sent >= reader.test_iterations:
+                break
             try:
                 batch = reader.get_batch(timeout=1.0)
             except TimeoutError:
@@ -122,6 +135,7 @@ def _worker_main(params: ReaderParams, worker: int, total_workers: int,
                 off += v.nbytes
             result_q.put((worker, slot, layout,
                           [str(s) for s in batch.get("SAMPLE_IDS", [])]))
+            n_sent += 1
     except BaseException:
         try:
             result_q.put(("error", worker, traceback.format_exc()))
@@ -148,31 +162,57 @@ class MultiProcessReader:
         p = params if isinstance(params, ReaderParams) \
             else ReaderParams.from_json(params)
         p.validate()
-        if p.test_phase:
-            raise ValueError(
-                "test_phase needs the deterministic single-process "
-                "MultiViH5DataReader (exact one-pass coverage)")
         if workers < 1:
             raise ValueError("workers must be >= 1")
         self.params = p
         self.workers = workers
         self.test_iterations = -1
+        self._worker_iters = None
+        if p.test_phase:
+            # exact one-pass coverage at W > 1: batch-block sharding (see
+            # module docstring). The reference's global contract first —
+            # the whole source, not any one shard (cpp:2039-2052).
+            from .reader import count_sample_groups
+
+            paths = p.source[0].path.split(";")
+            n_global = count_sample_groups(paths)
+            if n_global % p.batch_size != 0:
+                raise ValueError(
+                    f"test phase requires num_samples % batch_size == 0, "
+                    f"got {n_global} % {p.batch_size} != 0 (reference "
+                    f"multivih5datareader.cpp:2039-2052)")
+            self._worker_iters = [
+                count_sample_groups(
+                    paths, p.host_id * workers + w,
+                    p.num_hosts * workers,
+                    block_size=p.batch_size) // p.batch_size
+                for w in range(workers)]
+            self.test_iterations = sum(self._worker_iters)
+            self._rr_round = 0
+            self._rr_worker = 0
+            self._emitted = 0
         self._slot_bytes = _slot_bytes(p)
         self._slots = slots
         self._ctx = mp.get_context("spawn")
         self._quit = self._ctx.Event()
         self._result_q = self._ctx.Queue(maxsize=workers * slots)
+        # test phase needs per-worker delivery order, not arrival order
+        self._result_qs = ([self._ctx.Queue(maxsize=slots)
+                            for _ in range(workers)]
+                           if p.test_phase else None)
         self._free_qs = []
         self._shms = []
         self._procs = []
         for w in range(workers):
             # worker w serves shard (host_id*W + w) of (num_hosts*W) —
-            # the reader's stable per-file host-sharding rule, so
-            # multi-process x multi-host composition is one multiplication
+            # the reader's stable host-sharding rule (stride per file in
+            # training, batch blocks in test), so multi-process x
+            # multi-host composition is one multiplication
             wp = dataclasses.replace(
                 p,
                 host_id=p.host_id * workers + w,
                 num_hosts=p.num_hosts * workers,
+                shard_batch_blocks=p.test_phase,
                 seed=(p.seed + 0x9E3779B1 * (w + 1)) % (1 << 31),
             )
             shm = shared_memory.SharedMemory(
@@ -180,10 +220,12 @@ class MultiProcessReader:
             free_q = self._ctx.Queue()
             for s in range(slots):
                 free_q.put(s)
+            result_q = (self._result_qs[w] if self._result_qs is not None
+                        else self._result_q)
             proc = self._ctx.Process(
                 target=_worker_main,
                 args=(wp, w, workers, shm.name, self._slot_bytes,
-                      free_q, self._result_q, self._quit),
+                      free_q, result_q, self._quit),
                 daemon=True, name=f"demon-reader-worker-{w}")
             proc.start()
             self._shms.append(shm)
@@ -193,11 +235,13 @@ class MultiProcessReader:
     # ------------------------------------------------------------------
     @property
     def info(self) -> np.ndarray:
-        """[test_iterations(-1), batch buf cur/max, 0, 0] — queue gauges
+        """[test_iterations, batch buf cur/max, 0, 0] — queue gauges
         aggregated across workers (scene gauges live in the workers)."""
+        qsize = (sum(q.qsize() for q in self._result_qs)
+                 if self._result_qs is not None else self._result_q.qsize())
         return np.array([
-            -1.0,
-            self._result_q.qsize(), self.workers * self._slots,
+            float(self.test_iterations),
+            qsize, self.workers * self._slots,
             0.0, float(MAX_PRELOADED_BATCHES),
         ], np.float32)
 
@@ -207,14 +251,34 @@ class MultiProcessReader:
                 raise RuntimeError(
                     f"reader worker {w} died (exit {proc.exitcode})")
 
+    def _next_test_worker(self) -> int:
+        """Round-robin over workers in block order, skipping workers whose
+        shard is exhausted — reproduces the global batch-block sequence."""
+        while True:
+            w, r = self._rr_worker, self._rr_round
+            self._rr_worker += 1
+            if self._rr_worker == self.workers:
+                self._rr_worker = 0
+                self._rr_round += 1
+            if r < self._worker_iters[w]:
+                return w
+
     def get_batch(self, timeout: Optional[float] = None
                   ) -> Dict[str, np.ndarray]:
         import time
 
         deadline = None if timeout is None else time.monotonic() + timeout
+        if self.params.test_phase:
+            if self._emitted >= self.test_iterations:
+                raise RuntimeError(
+                    "deterministic test pass exhausted "
+                    f"({self.test_iterations} batches)")
+            q = self._result_qs[self._next_test_worker()]
+        else:
+            q = self._result_q
         while True:
             try:
-                msg = self._result_q.get(timeout=0.2)
+                msg = q.get(timeout=0.2)
                 break
             except queue_mod.Empty:
                 self._check_alive()
@@ -234,11 +298,15 @@ class MultiProcessReader:
             out[k] = src.copy()
         self._free_qs[worker].put(slot)
         out["SAMPLE_IDS"] = sample_ids
+        if self.params.test_phase:
+            self._emitted += 1
         return out
 
     def __iter__(self):
-        while True:
+        n = 0
+        while self.test_iterations < 0 or n < self.test_iterations:
             yield self.get_batch()
+            n += 1
 
     def close(self):
         self._quit.set()

@@ -160,6 +160,15 @@ class ReaderParams:
     # its own reader over a disjoint shard.
     host_id: int = 0
     num_hosts: int = 1
+    # deterministic-test sharding rule: False = the training stride rule
+    # (every num_hosts-th group per file); True = contiguous blocks of
+    # `batch_size` groups over the GLOBAL sorted group sequence, so shard
+    # s owns exactly the batches with index ≡ s (mod num_hosts) of the
+    # unsharded single-reader batch stream. This is what lets W parallel
+    # test readers reproduce the reference's exact one-pass coverage
+    # (multivih5datareader.cpp:2026-2054) when their outputs are
+    # interleaved round-robin (MultiProcessReader test phase).
+    shard_batch_blocks: bool = False
     # pre-decoded scene cache (data/cache.py): when set, sources that have
     # been cached with build_scene_cache are served from memmapped raw
     # arrays, skipping WebP/LZ4 decode entirely
@@ -194,6 +203,9 @@ class ReaderParams:
         if not (0 <= self.host_id < self.num_hosts):
             raise ValueError(f"host_id {self.host_id} out of range for "
                              f"{self.num_hosts} hosts")
+        if self.shard_batch_blocks and not self.test_phase:
+            raise ValueError("shard_batch_blocks is a deterministic-test "
+                             "sharding rule; training uses the stride rule")
 
 
 # ---------------------------------------------------------------------------
@@ -250,19 +262,37 @@ def _area_resize_uint8(img: np.ndarray, h: int, w: int) -> np.ndarray:
     return np.asarray(Image.fromarray(img).resize((w, h), Image.BOX))
 
 
+def _block_shard_count(total_before: int, n_groups: int, host_id: int,
+                       num_hosts: int, block_size: int) -> int:
+    """How many of this file's `n_groups` groups (global indices
+    total_before..total_before+n_groups) fall in shard `host_id` under
+    the batch-block rule (g // block_size) % num_hosts == host_id."""
+    return sum(
+        1 for g in range(total_before, total_before + n_groups)
+        if (g // block_size) % num_hosts == host_id)
+
+
 def count_sample_groups(h5_paths: Sequence[str], host_id: int = 0,
-                        num_hosts: int = 1) -> int:
+                        num_hosts: int = 1, block_size: int = 0) -> int:
     """Number of non-reserved root groups over all files — for this
     host's shard when num_hosts > 1 (reference countSampleGroups,
-    multivih5datareader.cpp:1070-1081)."""
+    multivih5datareader.cpp:1070-1081). block_size > 0 selects by the
+    batch-block rule over the global group sequence instead of the
+    per-file stride rule (ReaderParams.shard_batch_blocks)."""
     import h5py
 
-    n = 0
+    n = total = 0
     for path in h5_paths:
         with h5py.File(path, "r") as f:
             groups = sorted(k for k in f.keys() if not k.startswith("."))
-            n += len(groups[host_id::num_hosts]) if num_hosts > 1 \
-                else len(groups)
+        if num_hosts <= 1:
+            n += len(groups)
+        elif block_size > 0:
+            n += _block_shard_count(total, len(groups), host_id,
+                                    num_hosts, block_size)
+        else:
+            n += len(groups[host_id::num_hosts])
+        total += len(groups)
     return n
 
 
@@ -321,14 +351,21 @@ class _SceneProducer(threading.Thread):
         entries = sorted(cache.scenes,
                          key=lambda e: (e.get("file", 0), e["id"]))
         if p.num_hosts > 1:
-            # shard per FILE with the same stable rule as _group_iter /
-            # count_sample_groups, so cached and non-cached serving agree
-            # on which host owns which sample
-            byfile: Dict[int, list] = {}
-            for e in entries:
-                byfile.setdefault(e.get("file", 0), []).append(e)
-            entries = [e for fi in sorted(byfile)
-                       for e in byfile[fi][p.host_id :: p.num_hosts]]
+            if p.shard_batch_blocks:
+                # batch-block rule over the global sorted sequence — the
+                # same selection _group_iter makes for deterministic test
+                entries = [
+                    e for i, e in enumerate(entries)
+                    if (i // p.batch_size) % p.num_hosts == p.host_id]
+            else:
+                # shard per FILE with the same stable rule as _group_iter
+                # / count_sample_groups, so cached and non-cached serving
+                # agree on which host owns which sample
+                byfile: Dict[int, list] = {}
+                for e in entries:
+                    byfile.setdefault(e.get("file", 0), []).append(e)
+                entries = [e for fi in sorted(byfile)
+                           for e in byfile[fi][p.host_id :: p.num_hosts]]
         while True:
             order = list(entries)
             if not p.test_phase:
@@ -350,18 +387,27 @@ class _SceneProducer(threading.Thread):
             self.rng.shuffle(order)
         p = self.params
         while True:
+            global_idx = 0  # over the source's concatenated group sequence
             for fi in order:
                 path = self._h5_paths[src_idx][fi]
                 with h5py.File(path, "r") as f:
                     groups = sorted(k for k in f.keys()
                                     if not k.startswith("."))
+                    n_file = len(groups)
                     # stable per-host shard before any shuffling
                     if p.num_hosts > 1:
-                        groups = groups[p.host_id :: p.num_hosts]
+                        if p.shard_batch_blocks:
+                            groups = [
+                                g for i, g in enumerate(groups, global_idx)
+                                if (i // p.batch_size) % p.num_hosts
+                                == p.host_id]
+                        else:
+                            groups = groups[p.host_id :: p.num_hosts]
                     if not p.test_phase:
                         self.rng.shuffle(groups)
                     for g in groups:
                         yield fi, f, g
+                global_idx += n_file
 
     def run(self):
         try:
@@ -944,7 +990,9 @@ class MultiViH5DataReader:
         self.test_iterations = -1
         if p.test_phase:
             paths = p.source[0].path.split(";")
-            n = count_sample_groups(paths, p.host_id, p.num_hosts)
+            n = count_sample_groups(
+                paths, p.host_id, p.num_hosts,
+                block_size=p.batch_size if p.shard_batch_blocks else 0)
             if n % p.batch_size != 0:
                 raise ValueError(
                     f"test phase requires num_samples % batch_size == 0, "
@@ -967,8 +1015,10 @@ class MultiViH5DataReader:
         # fill the scene pool before starting builders (reference
         # PrivateData::init, multivih5datareader.cpp:1258-1268)
         n_threads = 1 if p.test_phase else max(1, p.builder_threads)
+        # an empty test shard (block-sharded reader with fewer batch
+        # blocks than shards) must not block waiting for scenes
         pool_size = p.scene_pool_size if not p.test_phase else min(
-            p.scene_pool_size, max(1, self.test_iterations * p.batch_size))
+            p.scene_pool_size, self.test_iterations * p.batch_size)
         bootstrap_builder = _BatchBuilder(self, 0)
         while len(self.pool) < pool_size:
             self._raise_thread_errors()

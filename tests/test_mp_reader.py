@@ -113,10 +113,59 @@ def test_worker_shards_disjoint(dataset):
     assert seen & expected[0] and seen & expected[1]
 
 
-def test_test_phase_rejected(dataset):
-    with pytest.raises(ValueError, match="test_phase"):
+def _single_process_test_ids(dataset, batch_size):
+    """The reference-contract one-pass batch stream of the single reader."""
+    seqs = []
+    with MultiViH5DataReader(_params(dataset, test_phase=True,
+                                     batch_size=batch_size)) as reader:
+        for batch in reader:
+            seqs.append(list(batch["SAMPLE_IDS"]))
+    return seqs
+
+
+def test_test_phase_exact_coverage_w2(dataset):
+    """W=2 deterministic test phase: every sample exactly once, in the
+    single-process reader's batch order (batch-block sharding + round-
+    robin interleave; reference contract multivih5datareader.cpp:
+    2026-2054)."""
+    ref = _single_process_test_ids(dataset, 4)  # 8 samples -> 2 batches
+    with MultiProcessReader(_params(dataset, test_phase=True,
+                                    batch_size=4), workers=2) as reader:
+        assert reader.test_iterations == 2
+        assert reader.info[0] == 2.0
+        got = [list(b["SAMPLE_IDS"]) for b in reader]
+    assert len(got) == 2
+    assert got == ref
+    # exhaustion is an error, not a hang
+    with MultiProcessReader(_params(dataset, test_phase=True,
+                                    batch_size=4), workers=2) as reader:
+        for _ in range(reader.test_iterations):
+            reader.get_batch(timeout=120)
+        with pytest.raises(RuntimeError, match="exhausted"):
+            reader.get_batch(timeout=10)
+
+
+def test_test_phase_unequal_shards_w3(dataset):
+    """8 samples / batch 2 = 4 blocks over 3 workers: shards own 2/1/1
+    blocks; round-robin must skip exhausted workers and still reproduce
+    the single-process stream."""
+    ref = _single_process_test_ids(dataset, 2)
+    with MultiProcessReader(_params(dataset, test_phase=True,
+                                    batch_size=2), workers=3) as reader:
+        assert reader.test_iterations == 4
+        assert reader._worker_iters == [2, 1, 1]
+        got = [list(b["SAMPLE_IDS"]) for b in reader]
+    assert got == ref
+    flat = [s for b in got for s in b]
+    assert len(flat) == len(set(flat)) == 8
+
+
+def test_test_phase_contract_enforced(dataset):
+    """The reference's global num_samples % batch_size == 0 contract is
+    checked against the WHOLE source, not any one worker shard."""
+    with pytest.raises(ValueError, match="batch_size"):
         MultiProcessReader(_params(dataset, test_phase=True,
-                                   batch_size=8), workers=2)
+                                   batch_size=3), workers=2)
 
 
 def test_worker_failure_surfaces(tmp_path, dataset):
