@@ -75,7 +75,9 @@ def held_out_table(results: Dict[str, dict]) -> List[str]:
     stages = [(k, v) for k, v in results.items() if isinstance(v, dict)]
     if not stages:
         return []
-    short = {"flow_epe": "flow_epe", "depth_l1_inverse": "d_l1inv",
+    short = {"flow_epe": "flow_epe", "flow_epe_pct_diag": "epe%diag",
+             "flow_epe_rel_gt": "epe/|gt|",
+             "depth_l1_inverse": "d_l1inv",
              "depth_sc_inv": "d_scinv", "rot_err_deg": "rot_deg",
              "tran_angle_err_deg": "tran_deg",
              "depth_l1_inverse_refined": "d_l1inv_ref"}

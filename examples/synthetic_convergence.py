@@ -124,6 +124,13 @@ def evaluate_params(engine, trainer_params, test_h5, batch_size=16):
                     return (M.l1_inverse(dp, gt), M.scale_invariant(dp, gt),
                             float(ok.mean()))
 
+                # normalization anchors for the raw-pixel EPE (VERDICT
+                # round-3 weak #5): the image diagonal (320 px at
+                # 192x256) and this sample's mean GT flow magnitude —
+                # EPE in px is uninterpretable across synthetic datasets
+                diag = float(np.hypot(H, W))
+                gt_mag = float(np.nanmean(
+                    np.linalg.norm(gt_flow, axis=-1)))
                 for it in range(n_iters):
                     epe = M.compute_flow_epe(
                         np.transpose(flow_pred[it, i], (2, 0, 1)),
@@ -135,6 +142,9 @@ def evaluate_params(engine, trainer_params, test_h5, batch_size=16):
                         motion_gt, True)
                     rows[it].append({
                         "flow_epe": epe,
+                        "flow_epe_pct_diag": 100.0 * epe / diag,
+                        "flow_epe_rel_gt": epe / gt_mag if gt_mag > 0
+                        else float("nan"),
                         "depth_l1_inverse": l1i,
                         "depth_sc_inv": sci,
                         "depth_valid_frac": frac,
