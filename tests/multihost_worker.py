@@ -124,6 +124,30 @@ def main():
         losses.append(float(metrics["total_loss"]))
     result["losses"] = losses
 
+    # ---- (e) evolution-4: replay carry sharded across hosts -------------
+    # the trickiest distributed state in the trainer — the recycled-
+    # prediction carry (reference FIFOQueue mechanism, training/v2/
+    # training.py:278-320,463-477) lives across steps as global arrays
+    # data-sharded over BOTH processes (_constrain_replay pins the
+    # layout). Two steps; the parent compares loss AND post-step carry
+    # against a single-process run of the same global computation.
+    evo4 = "4_iterative"
+    params4 = jax.device_put(trainer.init_params(jax.random.key(2)),
+                             NamedSharding(mesh, P()))
+    opt4 = trainer.init_opt_state(evo4, params4)
+    replay = trainer.init_replay(evo4, params4, batch)
+    step_fn4 = trainer.make_train_step(evo4)
+    losses4 = []
+    for step in range(2):
+        params4, opt4, m4, replay = step_fn4(
+            params4, opt4, batch, jnp.asarray(step, jnp.int32), replay)
+        losses4.append(float(m4["total_loss"]))
+    result["losses4"] = losses4
+    result["replay_sum"] = float(sum(
+        jnp.sum(jnp.abs(l.astype(jnp.float32)))
+        for l in jax.tree.leaves(replay)))
+    result["replay_leaves"] = len(jax.tree.leaves(replay))
+
     # ---- (c) multi-process orbax save/restore ---------------------------
     ckdir = os.path.join(workdir, "ckpt")
     ck = EvolutionCheckpointer(ckdir, "0_flow1")
