@@ -80,7 +80,9 @@ def held_out_table(results: Dict[str, dict]) -> List[str]:
              "depth_l1_inverse": "d_l1inv",
              "depth_sc_inv": "d_scinv", "rot_err_deg": "rot_deg",
              "tran_angle_err_deg": "tran_deg",
-             "depth_l1_inverse_refined": "d_l1inv_ref"}
+             "depth_l1_inverse_refined": "d_l1inv_ref",
+             "depth_l1_inverse_edge": "d_l1inv_edge",
+             "depth_l1_inverse_refined_edge": "d_l1i_ref_e"}
     cols = [c for c in short if any(c in v for _, v in stages)]
     if not cols:
         return []
