@@ -25,6 +25,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 DATASETS = ("mvs", "scenes11", "rgbd", "sun3d", "nyu2")
 
 
+def _make_reader(params, workers=0):
+    """Deterministic test reader; workers > 0 parallelizes decode across
+    processes with the same exact one-pass coverage and batch order
+    (data/mp_reader.py batch-block sharding)."""
+    if workers > 0:
+        from demon_tpu.data import MultiProcessReader
+
+        return MultiProcessReader(params, workers=workers)
+    from demon_tpu.data import MultiViH5DataReader
+
+    return MultiViH5DataReader(params)
+
+
 def _reader_params(path, height, width, norm):
     return {
         "batch_size": 1,
@@ -43,12 +56,12 @@ def _reader_params(path, height, width, norm):
     }
 
 
-def create_ground_truth_file(dataset, dataset_dir, out_dir="."):
+def create_ground_truth_file(dataset, dataset_dir, out_dir=".",
+                             reader_workers=0):
     """(reference evaluation.py:31-118)"""
     import jax.numpy as jnp
 
     from demon_tpu import ops
-    from demon_tpu.data import MultiViH5DataReader
 
     gt_file = os.path.join(out_dir, f"{dataset}_ground_truth.h5")
     if os.path.isfile(gt_file):
@@ -56,7 +69,8 @@ def create_ground_truth_file(dataset, dataset_dir, out_dir="."):
     print(f"creating {gt_file}")
 
     src = os.path.join(dataset_dir, f"{dataset}_test.h5")
-    with MultiViH5DataReader(_reader_params(src, 480, 640, norm=False)) as reader, \
+    with _make_reader(_reader_params(src, 480, 640, norm=False),
+                      reader_workers) as reader, \
             h5py.File(gt_file, "w") as f:
         for i, batch in enumerate(reader):
             depth = jnp.asarray(batch["DEPTH"])
@@ -77,10 +91,9 @@ def create_ground_truth_file(dataset, dataset_dir, out_dir="."):
 
 
 def create_prediction_file(dataset, dataset_dir, params, out_dir=".",
-                           variant="v1"):
+                           variant="v1", reader_workers=0):
     """(reference evaluation.py:122-261)"""
     from demon_tpu import ops
-    from demon_tpu.data import MultiViH5DataReader
     from demon_tpu.engine.inference import DemonEngine
 
     pr_file = os.path.join(out_dir, f"{dataset}_prediction.h5")
@@ -90,7 +103,8 @@ def create_prediction_file(dataset, dataset_dir, params, out_dir=".",
 
     engine = DemonEngine(variant=variant, iterations=3)
     src = os.path.join(dataset_dir, f"{dataset}_test.h5")
-    with MultiViH5DataReader(_reader_params(src, 192, 256, norm=True)) as reader, \
+    with _make_reader(_reader_params(src, 192, 256, norm=True),
+                      reader_workers) as reader, \
             h5py.File(pr_file, "w") as f:
         for i, batch in enumerate(reader):
             image_pair = batch["IMAGE_PAIR"]
@@ -126,6 +140,11 @@ def main():
                     help="v1 = released-weights architecture; v2 = the "
                          "trainable architecture (evaluate checkpoints "
                          "from the training driver)")
+    ap.add_argument("--reader-workers", type=int, default=0,
+                    help="decode the test sets with N reader processes "
+                         "(exact one-pass coverage and batch order are "
+                         "preserved — data/mp_reader.py batch-block "
+                         "sharding); 0 = single threaded reader")
     args = ap.parse_args()
 
     import jax
@@ -144,9 +163,12 @@ def main():
         params = engine.init(jax.random.key(0))
 
     for dataset in args.datasets:
-        gt_file = create_ground_truth_file(dataset, args.dataset_dir, args.out_dir)
-        pr_file = create_prediction_file(dataset, args.dataset_dir, params,
-                                         args.out_dir, variant=args.variant)
+        gt_file = create_ground_truth_file(
+            dataset, args.dataset_dir, args.out_dir,
+            reader_workers=args.reader_workers)
+        pr_file = create_prediction_file(
+            dataset, args.dataset_dir, params, args.out_dir,
+            variant=args.variant, reader_workers=args.reader_workers)
         print("computing errors for", dataset)
         res = evaluate(pr_file, gt_file, depthmask=False,
                        eigen_crop_gt_and_pred=True)

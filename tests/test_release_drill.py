@@ -83,6 +83,9 @@ def test_release_ingestion_drill(release_dir, tmp_path):
          f"--md5-manifest {os.path.join(release_dir, 'manifest.json')}",
          "WEIGHTS_FLAGS=--url "
          f"file://{os.path.join(release_dir, 'demon_original_weights.tgz')}",
+         # exercise the W>1 deterministic test phase through the
+         # production evaluation app (exact coverage + order preserved)
+         "EVAL_FLAGS=--reader-workers 2",
          ],
         capture_output=True, text=True, timeout=2400, env=env, cwd=REPO)
     if r.returncode != 0:
