@@ -213,6 +213,7 @@ def _train_chunked(args, evo: str, cap: int) -> None:
     import subprocess
 
     done = 0
+    attempts = 0
     while done < cap:
         target = min(cap, done + args.steps_per_process)
         cmd = [sys.executable, os.path.abspath(__file__),
@@ -241,9 +242,19 @@ def _train_chunked(args, evo: str, cap: int) -> None:
         cmd += ["--seed", str(args.seed)]
         r = subprocess.run(cmd)
         if r.returncode != 0:
-            raise RuntimeError(
-                f"training chunk {evo} -> step {target} failed "
-                f"(exit {r.returncode})")
+            # the tunneled dev platform throws transient RPC errors
+            # (remote_compile connection drops); progress is preserved in
+            # recovery snapshots, so retrying the same target is safe
+            attempts += 1
+            if attempts >= 3:
+                raise RuntimeError(
+                    f"training chunk {evo} -> step {target} failed "
+                    f"(exit {r.returncode}) after {attempts} attempts")
+            print(f"chunk {evo} -> {target} failed (exit {r.returncode}); "
+                  f"retry {attempts}/3 in 60 s", flush=True)
+            time.sleep(60)
+            continue
+        attempts = 0
         done = target
 
 
@@ -430,14 +441,24 @@ def main():
         driver.run_evolution(args._train_evo)
         return
 
+    # resume: a relaunch after a transient failure keeps completed evals
+    # (training itself resumes from recovery snapshots independently)
     results = {}
+    results_path = os.path.join(args.out, "convergence_results.json")
+    if os.path.isfile(results_path):
+        with open(results_path) as f:
+            results = json.load(f)
+        done_evos = [k for k in results if k != "init"]
+        if done_evos:
+            print(f"resuming: {done_evos} already evaluated", flush=True)
     t0 = time.time()
-    init_params = driver.trainer.init_params(jax.random.key(args.seed))
-    print("evaluating at init...", flush=True)
     eval_bs = min(args.batch, args.test_scenes)
-    results["init"] = evaluate_params(engine, init_params, test_h5,
-                                      batch_size=eval_bs)
-    print(json.dumps(results["init"], indent=1), flush=True)
+    if "init" not in results:
+        init_params = driver.trainer.init_params(jax.random.key(args.seed))
+        print("evaluating at init...", flush=True)
+        results["init"] = evaluate_params(engine, init_params, test_h5,
+                                          batch_size=eval_bs)
+        print(json.dumps(results["init"], indent=1), flush=True)
 
     def _save():
         with open(os.path.join(args.out, "convergence_results.json"),
@@ -481,6 +502,12 @@ def main():
         return res, (ema if ema is not None else raw)
 
     for evo, cap in zip(EVOLUTIONS, steps):
+        if evo in results and not (evo == "4_iterative"
+                                   and args.evo4_ablation
+                                   and "4_iterative_freshmix" not in results):
+            print(f"=== evolution {evo}: already evaluated, skipping ===",
+                  flush=True)
+            continue
         print(f"\n=== evolution {evo} ({cap} steps) ===", flush=True)
         results[evo], params = train_and_eval(driver, args, evo, cap)
         print(json.dumps(results[evo], indent=1), flush=True)
