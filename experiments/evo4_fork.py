@@ -1,0 +1,122 @@
+"""Fork evolution 4 from an existing 3_dm2 snapshot and train it for N
+steps, then evaluate held-out — the length/data ablation tool.
+
+Round-4 finding this exists to decompose: the 12k-step evo-4 leg on
+baseline-biased data REGRESSED the held-out iteration chain (flow EPE
+20.7 -> 28.3 across iterations vs 20.7 -> 18.5 at 3_dm2) while its
+training loss kept falling. Forking the same snapshot at the round-3
+step count (4k) with the same data isolates run length from the data
+bias as the cause.
+
+Usage:
+    python experiments/evo4_fork.py --out experiments/convergence_r4 \
+        --name training_evo4short --steps 4000 \
+        [--base-lr 1.5e-4] [--replay recycled]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                "examples"))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", required=True,
+                    help="harness out dir (datasets + cache + training/)")
+    ap.add_argument("--name", required=True,
+                    help="fork train-dir name under --out")
+    ap.add_argument("--steps", type=int, required=True)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch-iterative", type=int, default=8)
+    ap.add_argument("--base-lr", type=float, default=None,
+                    help="override evo-4 base LR (default: reference "
+                         "1.5e-4)")
+    ap.add_argument("--replay", default="recycled",
+                    choices=("recycled", "fresh"))
+    ap.add_argument("--from-dir", default="training",
+                    help="train dir to fork 3_dm2 from")
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from synthetic_convergence import evaluate_params
+
+    from demon_tpu.engine.inference import DemonEngine
+    from demon_tpu.train.driver import TrainingDriver
+    from demon_tpu.train.trainer import EVOLUTIONS, TrainConfig
+
+    # fork the 3_dm2 snapshot
+    src = os.path.join(args.out, args.from_dir, "3_dm2")
+    dst_dir = os.path.join(args.out, args.name)
+    dst = os.path.join(dst_dir, "3_dm2")
+    if not os.path.exists(dst):
+        os.makedirs(dst_dir, exist_ok=True)
+        shutil.copytree(src, dst)
+
+    # sources: every synthetic_train*.h5 in the out dir, weighted as the
+    # harness weighted them if a weights sidecar exists, else uniform
+    bins = sorted(
+        f for f in os.listdir(args.out)
+        if f.startswith("synthetic_train") and f.endswith(".h5"))
+    weights = {"synthetic_train_bin0.h5": 0.10,
+               "synthetic_train_bin1.h5": 0.20,
+               "synthetic_train_bin2.h5": 0.35,
+               "synthetic_train_bin3.h5": 0.35}
+    sources = [{"path": os.path.join(args.out, b),
+                "weight": [{"t": 0, "v": weights.get(b, 1.0)}]}
+               for b in bins]
+
+    steps_map = dict(zip(EVOLUTIONS, [6000, 5000, 2500, 2500,
+                                      args.steps, 1500]))
+    cfg = TrainConfig(batch_size=args.batch,
+                      batch_size_iterative=args.batch_iterative,
+                      replay_recycled=(args.replay == "recycled"),
+                      max_iter=steps_map)
+    if args.base_lr is not None:
+        lr = dict(cfg.base_lr)
+        lr["4_iterative"] = args.base_lr
+        cfg = dataclasses.replace(cfg, base_lr=lr)
+
+    driver = TrainingDriver(
+        train_dir=dst_dir, sources=sources, config=cfg,
+        display_interval=200, saver_interval=100_000,
+        recovery_interval=1_000, check_numerics_interval=1_000,
+        cache_dir=os.path.join(args.out, "cache"))
+    driver.max_steps = args.steps
+    out = driver.run_evolution("4_iterative")
+
+    engine = DemonEngine(variant=cfg.variant, iterations=3)
+    test_h5 = os.path.join(args.out, "synthetic_test.h5")
+    res = evaluate_params(engine, out["params"], test_h5, batch_size=16)
+    res["final_loss"] = out["metrics"].get("total_loss")
+    res["steps"] = args.steps
+    res["replay"] = args.replay
+    res["base_lr"] = args.base_lr
+    path = os.path.join(dst_dir, "eval_4_iterative.json")
+    with open(path, "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps({k: v for k, v in res.items()
+                      if k != "per_iteration"}, indent=1))
+    print("per-iteration:")
+    for m, vals in res["per_iteration"].items():
+        print(" ", m, [round(v, 3) for v in vals])
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
