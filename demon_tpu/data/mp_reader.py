@@ -188,8 +188,11 @@ class MultiProcessReader:
                     block_size=p.batch_size) // p.batch_size
                 for w in range(workers)]
             self.test_iterations = sum(self._worker_iters)
-            self._rr_round = 0
-            self._rr_worker = 0
+            # global block order: round r serves worker w iff w still
+            # owns a block at round r — the single-reader batch sequence
+            self._test_order = [
+                w for r in range(max(self._worker_iters, default=0))
+                for w in range(workers) if r < self._worker_iters[w]]
             self._emitted = 0
         self._slot_bytes = _slot_bytes(p)
         self._slots = slots
@@ -251,29 +254,21 @@ class MultiProcessReader:
                 raise RuntimeError(
                     f"reader worker {w} died (exit {proc.exitcode})")
 
-    def _next_test_worker(self) -> int:
-        """Round-robin over workers in block order, skipping workers whose
-        shard is exhausted — reproduces the global batch-block sequence."""
-        while True:
-            w, r = self._rr_worker, self._rr_round
-            self._rr_worker += 1
-            if self._rr_worker == self.workers:
-                self._rr_worker = 0
-                self._rr_round += 1
-            if r < self._worker_iters[w]:
-                return w
-
     def get_batch(self, timeout: Optional[float] = None
                   ) -> Dict[str, np.ndarray]:
         import time
 
         deadline = None if timeout is None else time.monotonic() + timeout
         if self.params.test_phase:
+            # _test_order holds the full block-order worker sequence;
+            # indexing by _emitted (which only advances on a successful
+            # dequeue) keeps a timed-out call retryable without
+            # desyncing the stream position
             if self._emitted >= self.test_iterations:
                 raise RuntimeError(
                     "deterministic test pass exhausted "
                     f"({self.test_iterations} batches)")
-            q = self._result_qs[self._next_test_worker()]
+            q = self._result_qs[self._test_order[self._emitted]]
         else:
             q = self._result_q
         while True:

@@ -367,6 +367,12 @@ class _SceneProducer(threading.Thread):
                 entries = [e for fi in sorted(byfile)
                            for e in byfile[fi][p.host_id :: p.num_hosts]]
         while True:
+            if not entries:
+                # empty shard (block-sharded test worker with fewer
+                # blocks than shards): idle instead of busy-spinning
+                if self.quit.wait(0.2):
+                    return
+                continue
             order = list(entries)
             if not p.test_phase:
                 self.rng.shuffle(order)
@@ -387,6 +393,7 @@ class _SceneProducer(threading.Thread):
             self.rng.shuffle(order)
         p = self.params
         while True:
+            yielded = False
             global_idx = 0  # over the source's concatenated group sequence
             for fi in order:
                 path = self._h5_paths[src_idx][fi]
@@ -406,8 +413,13 @@ class _SceneProducer(threading.Thread):
                     if not p.test_phase:
                         self.rng.shuffle(groups)
                     for g in groups:
+                        yielded = True
                         yield fi, f, g
                 global_idx += n_file
+            if not yielded:
+                # empty shard — idle instead of re-scanning files hot
+                if self.quit.wait(0.2):
+                    return
 
     def run(self):
         try:

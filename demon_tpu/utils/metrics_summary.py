@@ -72,7 +72,8 @@ def summarize(train_dir: str, key: str = "total_loss") -> List[Dict]:
 def held_out_table(results: Dict[str, dict]) -> List[str]:
     """Rows of the per-evolution held-out eval table from a
     convergence_results.json mapping (synthetic_convergence.py)."""
-    stages = [(k, v) for k, v in results.items() if isinstance(v, dict)]
+    stages = [(k, v) for k, v in results.items()
+              if isinstance(v, dict) and not k.startswith("_")]
     if not stages:
         return []
     short = {"flow_epe": "flow_epe", "flow_epe_pct_diag": "epe%diag",

@@ -165,7 +165,11 @@ def evaluate_params(engine, trainer_params, test_h5, batch_size=16):
                     rows[it].append({
                         "flow_epe": epe,
                         "flow_epe_pct_diag": 100.0 * epe / diag,
-                        "flow_epe_rel_gt": epe / gt_mag if gt_mag > 0
+                        # mean over samples of per-sample EPE / mean-|gt|
+                        # (a mean of ratios, not a ratio of means);
+                        # sub-pixel-motion samples are excluded — the
+                        # ratio diverges as |gt| -> 0
+                        "flow_epe_rel_gt": epe / gt_mag if gt_mag >= 1.0
                         else float("nan"),
                         "depth_l1_inverse": l1i,
                         "depth_sc_inv": sci,
@@ -400,6 +404,10 @@ def main():
     cache_dir = os.path.join(args.out, "cache")
     for src in sources:
         build_scene_cache(src["path"], cache_dir, 192, 256, verbose=False)
+    # sidecar: the exact weighted source list, so fork/ablation tools
+    # (experiments/evo4_fork.py) train on the same data mix
+    with open(os.path.join(args.out, "sources.json"), "w") as f:
+        json.dump(sources, f, indent=1)
     print("datasets ready", flush=True)
 
     def make_cfg(replay: str) -> TrainConfig:
@@ -442,13 +450,30 @@ def main():
         return
 
     # resume: a relaunch after a transient failure keeps completed evals
-    # (training itself resumes from recovery snapshots independently)
-    results = {}
+    # (training itself resumes from recovery snapshots independently).
+    # A config fingerprint guards against silently mixing evaluations
+    # from differently-configured runs in one out dir.
+    fingerprint = {k: getattr(args, k) for k in (
+        "train_scenes", "test_scenes", "steps", "batch",
+        "batch_iterative", "seed", "compute_dtype", "baseline",
+        "baseline_bins", "max_rotation", "style", "n_views", "ema",
+        "replay", "scale_schedule")}
+    results = {"_config": fingerprint}
     results_path = os.path.join(args.out, "convergence_results.json")
     if os.path.isfile(results_path):
         with open(results_path) as f:
-            results = json.load(f)
-        done_evos = [k for k in results if k != "init"]
+            prior = json.load(f)
+        if prior.get("_config", fingerprint) != fingerprint:
+            raise SystemExit(
+                f"{results_path} was produced by a different "
+                f"configuration:\n  stored: {prior.get('_config')}\n  "
+                f"now:    {fingerprint}\nuse a fresh --out (or delete "
+                f"the results file) instead of mixing runs")
+        results.update(prior)
+        results["_config"] = fingerprint
+        done_evos = [k for k in results
+                     if k not in ("init", "wall_hours")
+                     and not k.startswith("_")]
         if done_evos:
             print(f"resuming: {done_evos} already evaluated", flush=True)
     t0 = time.time()

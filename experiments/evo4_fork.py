@@ -68,18 +68,31 @@ def main():
         os.makedirs(dst_dir, exist_ok=True)
         shutil.copytree(src, dst)
 
-    # sources: every synthetic_train*.h5 in the out dir, weighted as the
-    # harness weighted them if a weights sidecar exists, else uniform
-    bins = sorted(
-        f for f in os.listdir(args.out)
-        if f.startswith("synthetic_train") and f.endswith(".h5"))
-    weights = {"synthetic_train_bin0.h5": 0.10,
-               "synthetic_train_bin1.h5": 0.20,
-               "synthetic_train_bin2.h5": 0.35,
-               "synthetic_train_bin3.h5": 0.35}
-    sources = [{"path": os.path.join(args.out, b),
-                "weight": [{"t": 0, "v": weights.get(b, 1.0)}]}
-               for b in bins]
+    # sources: the harness's sources.json sidecar is the ground truth for
+    # the data mix — the ablation is only valid on the SAME weighted
+    # sources the run trained on. The legacy fallback covers the one
+    # run recorded before the sidecar existed (convergence_r4, weights
+    # 0.10/0.20/0.35/0.35); anything else without a sidecar is an error.
+    sidecar = os.path.join(args.out, "sources.json")
+    if os.path.isfile(sidecar):
+        with open(sidecar) as f:
+            sources = json.load(f)
+    else:
+        bins = sorted(
+            f for f in os.listdir(args.out)
+            if f.startswith("synthetic_train") and f.endswith(".h5"))
+        legacy = {"synthetic_train_bin0.h5": 0.10,
+                  "synthetic_train_bin1.h5": 0.20,
+                  "synthetic_train_bin2.h5": 0.35,
+                  "synthetic_train_bin3.h5": 0.35}
+        if set(bins) != set(legacy):
+            raise SystemExit(
+                f"{sidecar} missing and source layout {bins} does not "
+                f"match the known pre-sidecar run — regenerate with the "
+                f"current harness to record the data mix")
+        sources = [{"path": os.path.join(args.out, b),
+                    "weight": [{"t": 0, "v": legacy[b]}]}
+                   for b in bins]
 
     steps_map = dict(zip(EVOLUTIONS, [6000, 5000, 2500, 2500,
                                       args.steps, 1500]))
