@@ -43,7 +43,37 @@ def main():
                     choices=("recycled", "fresh"))
     ap.add_argument("--from-dir", default="training",
                     help="train dir to fork 3_dm2 from")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="train in child processes of at most N steps "
+                         "each (resuming from recovery snapshots) — the "
+                         "tunneled dev host leaks ~20 MB RSS per step, "
+                         "so long in-process legs OOM")
+    ap.add_argument("--_until", type=int, default=None,
+                    help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args.chunk and args._until is None:
+        # parent: run the training in bounded child processes, then
+        # re-exec once more with _until=steps for the final eval
+        import subprocess
+
+        done = 0
+        while done < args.steps:
+            target = min(args.steps, done + args.chunk)
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--out", args.out, "--name", args.name,
+                   "--steps", str(args.steps), "--batch", str(args.batch),
+                   "--batch-iterative", str(args.batch_iterative),
+                   "--replay", args.replay, "--from-dir", args.from_dir,
+                   "--_until", str(target)]
+            if args.base_lr is not None:
+                cmd += ["--base-lr", str(args.base_lr)]
+            r = subprocess.run(cmd)
+            if r.returncode != 0:
+                raise SystemExit(
+                    f"chunk -> {target} failed (exit {r.returncode})")
+            done = target
+        # fall through with _until unset: restore + eval in this process
 
     import dataclasses
 
@@ -110,13 +140,30 @@ def main():
         display_interval=200, saver_interval=100_000,
         recovery_interval=1_000, check_numerics_interval=1_000,
         cache_dir=os.path.join(args.out, "cache"))
-    driver.max_steps = args.steps
-    out = driver.run_evolution("4_iterative")
+    final_loss = None
+    if args._until is not None:
+        # chunk child: train a bounded leg (resumes from the latest
+        # recovery snapshot) and exit without evaluating
+        driver.max_steps = args._until
+        driver.run_evolution("4_iterative")
+        return
+    if args.chunk:
+        # chunked parent: training already done in children — restore
+        from demon_tpu.train.checkpoint import EvolutionCheckpointer
+
+        ck = EvolutionCheckpointer(dst_dir, "4_iterative")
+        params = ck.restore_params(None)
+        ck.close()
+    else:
+        driver.max_steps = args.steps
+        out = driver.run_evolution("4_iterative")
+        params = out["params"]
+        final_loss = out["metrics"].get("total_loss")
 
     engine = DemonEngine(variant=cfg.variant, iterations=3)
     test_h5 = os.path.join(args.out, "synthetic_test.h5")
-    res = evaluate_params(engine, out["params"], test_h5, batch_size=16)
-    res["final_loss"] = out["metrics"].get("total_loss")
+    res = evaluate_params(engine, params, test_h5, batch_size=16)
+    res["final_loss"] = final_loss
     res["steps"] = args.steps
     res["replay"] = args.replay
     res["base_lr"] = args.base_lr
