@@ -28,11 +28,12 @@ pytestmark = pytest.mark.skipif(
     reason="set DEMON_TRAINED_ENGINE to an exported trained engine "
            "checkpoint (experiments/export_trained_engine.py)")
 
-# thresholds: the synthetic 30-frame trajectory at seed 0; ~2x above the
-# round-3 trained-artifact measurement (pose-graph 0.512, +BA 0.501 —
-# BENCHMARKS.md) so regressions trip while run-to-run noise does not
-ATE_POSE_GRAPH_MAX = float(os.environ.get("DEMON_ATE_PG_MAX", "1.0"))
-ATE_BA_MAX = float(os.environ.get("DEMON_ATE_BA_MAX", "1.0"))
+# thresholds: the synthetic 30-frame trajectory at seed 0; ~1.5x above
+# the round-4 trained-artifact measurement (pose-graph 0.467, +BA 0.483
+# on the convergence_r4 engine — BENCHMARKS.md; round 3 measured
+# 0.512/0.501) so regressions trip while run-to-run noise does not
+ATE_POSE_GRAPH_MAX = float(os.environ.get("DEMON_ATE_PG_MAX", "0.72"))
+ATE_BA_MAX = float(os.environ.get("DEMON_ATE_BA_MAX", "0.75"))
 
 
 @pytest.fixture(scope="module")
