@@ -69,7 +69,11 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--engine",
                     default=os.path.join(os.path.dirname(__file__),
-                                         "convergence_layered", "engine_v2"))
+                                         "convergence_r4", "engine_v2"),
+                    help="exported engine checkpoint (default: the "
+                         "round-4 biased-sampling artifact; the round-3 "
+                         "table tran_angle_bins.json came from "
+                         "convergence_layered/engine_v2)")
     # test phase requires scenes % batch == 0 (1 pair/scene at n_views=2)
     ap.add_argument("--scenes-per-bin", type=int, default=32)
     ap.add_argument("--batch", type=int, default=16)
