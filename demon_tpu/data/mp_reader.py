@@ -78,7 +78,7 @@ def _slot_bytes(p: ReaderParams) -> int:
 
 def _worker_main(params: ReaderParams, worker: int, total_workers: int,
                  shm_name: str, slot_bytes: int,
-                 free_q, result_q, quit_ev):
+                 free_q, result_q, quit_ev, error_q):
     """Worker process: full reader over its pre-assigned shard; copies
     each batch into a free shared-memory slot."""
     reader = None
@@ -137,8 +137,12 @@ def _worker_main(params: ReaderParams, worker: int, total_workers: int,
                           [str(s) for s in batch.get("SAMPLE_IDS", [])]))
             n_sent += 1
     except BaseException:
+        # dedicated error channel: the parent polls it on every queue-empty
+        # wait, so a failure surfaces immediately even when the test-phase
+        # round-robin is parked on a different worker's queue and even
+        # though this worker exits 0 after catching its own exception
         try:
-            result_q.put(("error", worker, traceback.format_exc()))
+            error_q.put((worker, traceback.format_exc()))
         except Exception:
             pass
     finally:
@@ -198,6 +202,7 @@ class MultiProcessReader:
         self._slots = slots
         self._ctx = mp.get_context("spawn")
         self._quit = self._ctx.Event()
+        self._error_q = self._ctx.Queue()
         self._result_q = self._ctx.Queue(maxsize=workers * slots)
         # test phase needs per-worker delivery order, not arrival order
         self._result_qs = ([self._ctx.Queue(maxsize=slots)
@@ -228,7 +233,7 @@ class MultiProcessReader:
             proc = self._ctx.Process(
                 target=_worker_main,
                 args=(wp, w, workers, shm.name, self._slot_bytes,
-                      free_q, result_q, self._quit),
+                      free_q, result_q, self._quit, self._error_q),
                 daemon=True, name=f"demon-reader-worker-{w}")
             proc.start()
             self._shms.append(shm)
@@ -240,8 +245,12 @@ class MultiProcessReader:
     def info(self) -> np.ndarray:
         """[test_iterations, batch buf cur/max, 0, 0] — queue gauges
         aggregated across workers (scene gauges live in the workers)."""
-        qsize = (sum(q.qsize() for q in self._result_qs)
-                 if self._result_qs is not None else self._result_q.qsize())
+        try:
+            qsize = (sum(q.qsize() for q in self._result_qs)
+                     if self._result_qs is not None
+                     else self._result_q.qsize())
+        except NotImplementedError:  # macOS: Queue.qsize unsupported
+            qsize = 0
         return np.array([
             float(self.test_iterations),
             qsize, self.workers * self._slots,
@@ -249,6 +258,11 @@ class MultiProcessReader:
         ], np.float32)
 
     def _check_alive(self):
+        try:
+            w, tb = self._error_q.get_nowait()
+            raise RuntimeError(f"reader worker {w} failed:\n{tb}")
+        except queue_mod.Empty:
+            pass
         for w, proc in enumerate(self._procs):
             if not proc.is_alive() and proc.exitcode not in (0, None):
                 raise RuntimeError(
@@ -259,6 +273,7 @@ class MultiProcessReader:
         import time
 
         deadline = None if timeout is None else time.monotonic() + timeout
+        self._check_alive()
         if self.params.test_phase:
             # _test_order holds the full block-order worker sequence;
             # indexing by _emitted (which only advances on a successful
@@ -279,9 +294,6 @@ class MultiProcessReader:
                 self._check_alive()
                 if deadline is not None and time.monotonic() > deadline:
                     raise TimeoutError("no batch produced in time")
-        if msg and msg[0] == "error":
-            raise RuntimeError(
-                f"reader worker {msg[1]} failed:\n{msg[2]}")
         worker, slot, layout, sample_ids = msg
         shm = self._shms[worker]
         base = slot * self._slot_bytes

@@ -453,20 +453,31 @@ def main():
     # (training itself resumes from recovery snapshots independently).
     # A config fingerprint guards against silently mixing evaluations
     # from differently-configured runs in one out dir.
-    fingerprint = {k: getattr(args, k) for k in (
-        "train_scenes", "test_scenes", "steps", "batch",
-        "batch_iterative", "seed", "compute_dtype", "baseline",
-        "baseline_bins", "max_rotation", "style", "n_views", "ema",
-        "replay", "scale_schedule")}
+    # science keys must match to resume; execution-detail keys
+    # (evo4_ablation, steps_per_process) are recorded for provenance but
+    # not compared — toggling --evo4-ablation to backfill the fork into a
+    # finished run is a supported workflow, and chunking is scientifically
+    # neutral
+    _science = ("train_scenes", "test_scenes", "steps", "batch",
+                "batch_iterative", "seed", "compute_dtype", "baseline",
+                "baseline_bins", "max_rotation", "style", "n_views", "ema",
+                "replay", "scale_schedule")
+    fingerprint = {k: getattr(args, k)
+                   for k in _science + ("evo4_ablation",
+                                        "steps_per_process")}
     results = {"_config": fingerprint}
     results_path = os.path.join(args.out, "convergence_results.json")
     if os.path.isfile(results_path):
         with open(results_path) as f:
             prior = json.load(f)
-        if prior.get("_config", fingerprint) != fingerprint:
+        # a results file with no _config predates the guard — refuse to
+        # silently adopt it (it could be from any configuration)
+        stored = prior.get("_config")
+        if stored is None or any(stored.get(k, object()) != fingerprint[k]
+                                 for k in _science):
             raise SystemExit(
-                f"{results_path} was produced by a different "
-                f"configuration:\n  stored: {prior.get('_config')}\n  "
+                f"{results_path} was produced by a different (or "
+                f"unrecorded) configuration:\n  stored: {stored}\n  "
                 f"now:    {fingerprint}\nuse a fresh --out (or delete "
                 f"the results file) instead of mixing runs")
         results.update(prior)
@@ -562,7 +573,10 @@ def main():
                   flush=True)
             _save()
 
-    results["wall_hours"] = (time.time() - t0) / 3600.0
+    # accumulate across resumed sessions instead of overwriting the real
+    # training time with a near-zero fully-resumed pass
+    results["wall_hours"] = (results.get("wall_hours", 0.0)
+                             + (time.time() - t0) / 3600.0)
     with open(os.path.join(args.out, "convergence_results.json"), "w") as f:
         json.dump(results, f, indent=1)
     print("\nDONE", json.dumps(results, indent=1), flush=True)

@@ -43,7 +43,14 @@ def _bin_seed(lo: float, hi: float) -> int:
     for i, b in enumerate(BINS):
         if b == (lo, hi):
             return 9000 + i
-    return 9500 + int(round(lo * 100)) * 100 + int(round(hi * 100))
+    # non-canonical bins: hash the exact bounds so distinct bins can't
+    # collide (the old round(lo*100)*100 + round(hi*100) arithmetic
+    # mapped e.g. 0.05:0.10 and 0.04:1.10 to the same seed and truncated
+    # bounds finer than 0.01)
+    import hashlib
+
+    digest = hashlib.sha1(f"{lo!r}:{hi!r}".encode()).digest()
+    return 10_000 + int.from_bytes(digest[:4], "big") % 1_000_000
 
 
 def _parse_bins(spec: str):
