@@ -431,20 +431,42 @@ def main():
     # tunnel round-trip latency per iteration.
     float(run())  # compile + settle
     float(run())
-    t0 = time.perf_counter()
-    last = None
-    for _ in range(iters):
-        last = run()
-    float(last)
-    dt = time.perf_counter() - t0
-    pairs_per_s = batch * iters / dt
+
+    # n>=3 repeats: sessions show a +-1% run-to-run band (BENCHMARKS.md
+    # "variance band" — 2287-2315 pairs/s across rounds 2-4), so a single
+    # measurement can hide a real regression inside noise. The reported
+    # value is the median; spread and the documented floor ride along.
+    repeats = max(1, int(os.environ.get("BENCH_REPEATS", "3")))
+    rates = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(iters):
+            last = run()
+        float(last)
+        dt = time.perf_counter() - t0
+        rates.append(batch * iters / dt)
+    rates.sort()
+    pairs_per_s = float(np.median(rates))
+    # regression floor: ~4% under the measured architecture floor of
+    # ~2300 pairs/s (MFU table pins 22% of bf16 peak) — spread, not a
+    # real regression, stays above this
+    floor = float(os.environ.get("BENCH_FLOOR", "2200"))
 
     print(json.dumps({
         "metric": "demon_full_pipeline_pairs_per_s_per_chip",
         "value": round(pairs_per_s, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_s / REFERENCE_PAIRS_PER_S, 2),
+        "repeats": repeats,
+        "spread": {"min": round(rates[0], 2), "max": round(rates[-1], 2)},
+        "floor": floor,
+        "floor_ok": bool(pairs_per_s >= floor),
     }))
+    if pairs_per_s < floor and os.environ.get("BENCH_ENFORCE_FLOOR") == "1":
+        print(f"FAIL: {pairs_per_s:.1f} pairs/s below floor {floor}",
+              file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

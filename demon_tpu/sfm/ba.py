@@ -63,14 +63,38 @@ def _point_residual(delta_cams, R, t, X_k, obs_cam, obs_uv, obs_w, intr):
     return jnp.where((z > 1e-6)[..., None], r, 0.0)
 
 
+def reprojection_residuals(R: jax.Array, t: jax.Array, points: jax.Array,
+                           problem: BAProblem) -> jax.Array:
+    """Unweighted per-observation reprojection residual norms [M, O]
+    (normalized image coords; behind-camera observations report 0).
+
+    The instrumentation primitive behind robust weighting, outlier
+    gating and the BA diagnostics in chaining.chain_sequence."""
+    def per_point(Xk, cam_k, uv_k):
+        pred, z = _project(R[cam_k], t[cam_k], Xk, problem.intrinsics)
+        r = jnp.linalg.norm(pred - uv_k, axis=-1)
+        return jnp.where(z > 1e-6, r, 0.0)
+
+    return jax.vmap(per_point)(points, problem.cam_idx, problem.uv)
+
+
+def _huber_irls_weight(res_norm: jax.Array, delta: float) -> jax.Array:
+    """sqrt-IRLS weight for the Huber loss: residual and Jacobian are both
+    scaled by this, so the normal equations solve the Huber-weighted
+    problem. 1 inside `delta`, sqrt(delta/|r|) outside."""
+    return jnp.sqrt(jnp.minimum(1.0, delta / jnp.maximum(res_norm, 1e-12)))
+
+
 def bundle_adjust(R: jax.Array, t: jax.Array, points: jax.Array,
                   problem: BAProblem, iterations: int = 5,
                   damping: float = 1e-4, fix_first: bool = True,
-                  axis_name: Optional[str] = None):
+                  axis_name: Optional[str] = None,
+                  robust_delta: Optional[float] = None):
     """Gauss-Newton BA. R: [N,3,3], t: [N,3], points: [M,3] world points
     (the local shard when run under shard_map with `axis_name`).
 
-    Returns (R, t, points, costs[iterations]).
+    `robust_delta`: IRLS Huber reweighting from current residuals (see
+    bundle_adjust_sparse). Returns (R, t, points, costs[iterations]).
     """
     n = R.shape[0]
 
@@ -93,6 +117,13 @@ def bundle_adjust(R: jax.Array, t: jax.Array, points: jax.Array,
         R, t, X = state
         delta0 = jnp.zeros((n, 6), R.dtype)
 
+        if robust_delta is not None:
+            res_now = reprojection_residuals(R, t, X, problem)   # [M, O]
+            eff_weight = problem.weight * _huber_irls_weight(
+                res_now, robust_delta)
+        else:
+            eff_weight = problem.weight
+
         def blocks(Xk, cam_k, uv_k, w_k):
             Jc, Jp, r = per_point(delta0, R, t, Xk, cam_k, uv_k, w_k)
             Hpp = Jp.T @ Jp + damping * jnp.eye(3, dtype=R.dtype)
@@ -106,7 +137,7 @@ def bundle_adjust(R: jax.Array, t: jax.Array, points: jax.Array,
             return S_k, b_k, Hpp_inv, Jp.T @ r, Hcp, cost_k
 
         S_all, b_all, Hpp_inv, bp, Hcp_all, cost = jax.vmap(blocks)(
-            X, problem.cam_idx, problem.uv, problem.weight)
+            X, problem.cam_idx, problem.uv, eff_weight)
         S = jnp.sum(S_all, axis=0)
         b = jnp.sum(b_all, axis=0)
         cost = jnp.sum(cost)
@@ -186,7 +217,9 @@ def bundle_adjust_sparse(R: jax.Array, t: jax.Array, points: jax.Array,
                          problem: BAProblem, iterations: int = 5,
                          damping: float = 1e-4, fix_first: bool = True,
                          axis_name: Optional[str] = None,
-                         solver: str = "dense", cg_iters: int = 100):
+                         solver: str = "dense", cg_iters: int = 100,
+                         robust_delta: Optional[float] = None,
+                         motion_edges=None):
     """Block-sparse variant of `bundle_adjust` for large camera counts.
 
     `bundle_adjust` differentiates every point residual w.r.t. ALL N
@@ -198,6 +231,24 @@ def bundle_adjust_sparse(R: jax.Array, t: jax.Array, points: jax.Array,
     O(M * 36 O^2) memory with identical results (validated in tests).
     Per-point work vmaps, so the point axis shards over a mesh exactly
     like the dense variant (psum over `axis_name`).
+
+    `robust_delta` (normalized image coords) turns each Gauss-Newton step
+    into an IRLS Huber step: observation weights are rescaled by
+    sqrt(min(1, delta/|r|)) from the CURRENT residuals before the normal
+    equations are formed, so gross outliers (bad flow tracks, moving
+    texture) lose their quadratic pull instead of dragging the poses.
+    None keeps the plain least-squares behavior.
+
+    `motion_edges` (a pose_graph.PoseGraphEdge) folds the network's
+    DIRECT pairwise motion measurements into the same normal equations —
+    the full SLAM-backend formulation: minimize reprojection AND
+    relative-pose residuals jointly, instead of letting reprojection
+    (derived from noisier flow+depth) overrule motion measurements the
+    pose graph already fused. Edge residuals/Jacobians are exactly
+    pose_graph.optimize_pose_graph's; the edge weight multiplies the
+    residual, so the effective information weight is weight^2. Under
+    shard_map the edge system (camera-side, replicated) is added AFTER
+    the point-shard psum so it counts once.
     """
     n = R.shape[0]
     obs = problem.cam_idx.shape[1]
@@ -215,6 +266,13 @@ def bundle_adjust_sparse(R: jax.Array, t: jax.Array, points: jax.Array,
         R, t, X = state
         delta0 = jnp.zeros((obs, 6), R.dtype)
 
+        if robust_delta is not None:
+            res_now = reprojection_residuals(R, t, X, problem)   # [M, O]
+            eff_weight = problem.weight * _huber_irls_weight(
+                res_now, robust_delta)
+        else:
+            eff_weight = problem.weight
+
         def blocks(Xk, cam_k, uv_k, w_k):
             res_c = lambda d: local_residual(d, R, t, Xk, cam_k, uv_k, w_k)
             res_p = lambda Xp: local_residual(delta0, R, t, Xp, cam_k,
@@ -231,7 +289,7 @@ def bundle_adjust_sparse(R: jax.Array, t: jax.Array, points: jax.Array,
             return S_k, b_k, Hpp_inv, Jp.T @ r, Hcp, jnp.sum(r * r)
 
         S_blk, b_blk, Hpp_inv, bp, Hcp_all, cost = jax.vmap(blocks)(
-            X, problem.cam_idx, problem.uv, problem.weight)
+            X, problem.cam_idx, problem.uv, eff_weight)
         cost = jnp.sum(cost)
         if axis_name is not None:
             cost = jax.lax.psum(cost, axis_name)
@@ -240,6 +298,37 @@ def bundle_adjust_sparse(R: jax.Array, t: jax.Array, points: jax.Array,
         b = b.at[problem.cam_idx.reshape(-1)].add(b_blk.reshape(-1, 6))
         if axis_name is not None:
             b = jax.lax.psum(b, axis_name)
+
+        # relative-motion measurement system (replicated camera-side —
+        # added once, after the point-shard psum)
+        eH_blk = eg_blk = e_idx = None
+        if motion_edges is not None:
+            from .lie import se3_inverse, se3_log
+
+            me = motion_edges
+
+            def edge_residual(delta2, ei, ej, Rij, tij, w):
+                dR, dt = se3_exp(delta2)
+                Ri, ti = se3_compose(dR[0], dt[0], R[ei], t[ei])
+                Rj, tj = se3_compose(dR[1], dt[1], R[ej], t[ej])
+                Rp, tp = se3_compose(Rj, tj, *se3_inverse(Ri, ti))
+                Re, te = se3_compose(Rij, tij, *se3_inverse(Rp, tp))
+                return se3_log(Re, te) * w
+
+            zero2 = jnp.zeros((2, 6), R.dtype)
+
+            def per_edge(ei, ej, Rij, tij, w):
+                res = lambda d: edge_residual(d, ei, ej, Rij, tij, w)
+                J = jax.jacfwd(res)(zero2).reshape(6, 12)
+                r = res(zero2)
+                return ((J.T @ J).reshape(2, 6, 2, 6),
+                        (J.T @ r).reshape(2, 6), jnp.sum(r * r))
+
+            eH_blk, eg_blk, e_cost = jax.vmap(per_edge)(
+                me.i, me.j, me.R_ij, me.t_ij, me.weight)
+            e_idx = jnp.stack([me.i, me.j], axis=1)          # [E, 2]
+            b = b.at[e_idx.reshape(-1)].add(eg_blk.reshape(-1, 6))
+            cost = cost + jnp.sum(e_cost)
 
         mask6 = None
         if fix_first:
@@ -262,6 +351,11 @@ def bundle_adjust_sparse(R: jax.Array, t: jax.Array, points: jax.Array,
                     sv.reshape(-1, 6))
                 if axis_name is not None:
                     out = jax.lax.psum(out, axis_name)
+                if eH_blk is not None:
+                    ve = v[e_idx]                            # [E, 2, 6]
+                    ev = jnp.einsum("eapbq,ebq->eap", eH_blk, ve)
+                    out = out.at[e_idx.reshape(-1)].add(
+                        ev.reshape(-1, 6))
                 return out + damping * v
 
             if fix_first:
@@ -277,6 +371,11 @@ def bundle_adjust_sparse(R: jax.Array, t: jax.Array, points: jax.Array,
                 diag_blk.reshape(-1, 6, 6))
             if axis_name is not None:
                 D = jax.lax.psum(D, axis_name)
+            if eH_blk is not None:
+                e_diag = jnp.stack([eH_blk[:, 0, :, 0, :],
+                                    eH_blk[:, 1, :, 1, :]], axis=1)
+                D = D.at[e_idx.reshape(-1)].add(
+                    e_diag.reshape(-1, 6, 6))
             D = D + damping * jnp.eye(6, dtype=R.dtype)
             if fix_first:
                 D = D.at[0].set(jnp.eye(6, dtype=R.dtype))
@@ -297,6 +396,13 @@ def bundle_adjust_sparse(R: jax.Array, t: jax.Array, points: jax.Array,
                      :].add(S_blk.transpose(0, 1, 3, 2, 4).reshape(-1, 6, 6))
             if axis_name is not None:
                 S = jax.lax.psum(S, axis_name)
+            if eH_blk is not None:
+                ea = jnp.broadcast_to(e_idx[:, :, None],
+                                      e_idx.shape + (2,)).reshape(-1)
+                eb = jnp.broadcast_to(e_idx[:, None, :],
+                                      (e_idx.shape[0], 2, 2)).reshape(-1)
+                S = S.at[ea, :, eb, :].add(
+                    eH_blk.transpose(0, 1, 3, 2, 4).reshape(-1, 6, 6))
             S = S.reshape(n * 6, n * 6) \
                 + damping * jnp.eye(n * 6, dtype=R.dtype)
             if fix_first:

@@ -47,6 +47,10 @@ def predict_sequence_pairs(engine, params, images: np.ndarray,
         "translation": np.asarray(out.prediction.translation, np.float64),
         "inv_depth2": np.asarray(out.prediction.depth2)[..., 0],
         "flow2": np.asarray(out.prediction.flow2),
+        # per-pixel flow confidence c = exp(-s|f_pr - f_gt|) learned by
+        # the flow head (train/losses.py compute_confidence_map) — used
+        # to weight the flow-anchored BA observations
+        "conf2": np.asarray(out.prediction.conf2),
         "depth_refined": np.asarray(out.depth_refined)[..., 0],
     }
 
@@ -112,7 +116,9 @@ def _sample_flow(flow: np.ndarray, u: np.ndarray, v: np.ndarray):
 
 def build_ba_problem(preds: Dict, R: np.ndarray, t: np.ndarray,
                      scales: np.ndarray, intrinsics_norm: np.ndarray,
-                     points_per_frame: int = 64, track_length: int = 2):
+                     points_per_frame: int = 64, track_length: int = 2,
+                     conf_weighted: bool = True,
+                     gate_residual: Optional[float] = None):
     """Flow-anchored bundle-adjustment problem from pairwise predictions.
 
     For a grid of valid pixels p of frame k the network's flow chain
@@ -125,6 +131,18 @@ def build_ba_problem(preds: Dict, R: np.ndarray, t: np.ndarray,
     chained pose. Tracks shorter than `track_length` are weight-0 padded
     (BAProblem's fixed-arity layout).
 
+    `conf_weighted`: weight each chained observation by the cumulative
+    product of the flow head's own confidence (preds["conf2"], mean of
+    the x/y channels, sampled along the chain) — low-confidence flow
+    (occlusions, texture-poor regions) stops dragging the poses with
+    full weight. The frame-k anchor observation keeps weight 1.
+
+    `gate_residual` (normalized image coords): zero out observations
+    whose INITIAL reprojection residual under (R, t, point) exceeds the
+    threshold — gross outlier tracks (flow chained across an occlusion
+    boundary) are removed before the solver sees them; the >=2-live-obs
+    rule is re-applied after gating.
+
     Returns (points [M, 3] world, BAProblem) — numpy inputs, jit-ready.
     """
     import jax.numpy as jnp
@@ -133,6 +151,7 @@ def build_ba_problem(preds: Dict, R: np.ndarray, t: np.ndarray,
 
     inv_depths = preds["inv_depth2"]
     flows = preds["flow2"] if "flow2" in preds else None
+    confs = preds.get("conf2")
     p_cnt, h, w = inv_depths.shape
     L = max(2, int(track_length))
 
@@ -160,17 +179,25 @@ def build_ba_problem(preds: Dict, R: np.ndarray, t: np.ndarray,
         if flows is not None:
             uc, vc = u.copy(), v.copy()
             alive = ok.copy()
+            cum_conf = np.ones(n_seed, np.float32)
             for j in range(1, L):
                 fk = k + j - 1           # flow of pair fk: frame fk -> fk+1
                 if fk >= p_cnt:
                     break
+                if conf_weighted and confs is not None:
+                    # confidence that flow_fk is right AT the chained
+                    # position; multiplies down the chain (an early bad
+                    # hop poisons everything after it)
+                    cs, _ = _sample_flow(confs[fk], uc, vc)
+                    cum_conf = cum_conf * np.clip(
+                        np.nan_to_num(cs).mean(-1), 0.0, 1.0)
                 fl, fok = _sample_flow(flows[fk], uc, vc)
                 uc = uc + np.nan_to_num(fl[:, 0])
                 vc = vc + np.nan_to_num(fl[:, 1])
                 alive = alive & fok & (uc > 0) & (uc < 1) \
                     & (vc > 0) & (vc < 1)
                 obs_uv[:, j] = np.stack([uc, vc], -1)
-                obs_w[:, j] = alive
+                obs_w[:, j] = alive * cum_conf
                 obs_cam[:, j] = fk + 1
         else:
             # no flow: a same-position anchor in the next frame
@@ -181,7 +208,8 @@ def build_ba_problem(preds: Dict, R: np.ndarray, t: np.ndarray,
         # a point needs >=2 live observations to constrain anything; kill
         # the whole track otherwise (a 1-obs point block is rank-deficient
         # and only the LM damping would keep its inversion finite)
-        obs_w *= (obs_w.sum(-1, keepdims=True) >= 2).astype(np.float32)
+        obs_w *= ((obs_w > 0).sum(-1, keepdims=True) >= 2
+                  ).astype(np.float32)
 
         with np.errstate(divide="ignore"):
             z = 1.0 / np.where(ok, inv_d, 1.0)
@@ -194,10 +222,34 @@ def build_ba_problem(preds: Dict, R: np.ndarray, t: np.ndarray,
         weights.append(obs_w)
 
     points = np.concatenate(pts_world).astype(np.float32)
+    cam_idx = np.concatenate(cam_idx)
+    uvs = np.concatenate(uvs)
+    weights = np.concatenate(weights)
+
+    if gate_residual is not None:
+        # initial reprojection residuals under the pose-graph poses: an
+        # observation already off by more than the gate is a broken track
+        # (flow chained across an occlusion, moving texture), not noise
+        # the solver should average in
+        fx, fy, cx, cy = intrinsics_norm[:4]
+        if len(R) <= cam_idx.max():
+            raise ValueError(
+                "gate_residual needs poses for every observed camera "
+                f"(got {len(R)} poses, max cam index {cam_idx.max()})")
+        Xc = np.einsum("moij,mj->moi", R[cam_idx], points) + t[cam_idx]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pred_u = fx * Xc[..., 0] / Xc[..., 2] + cx
+            pred_v = fy * Xc[..., 1] / Xc[..., 2] + cy
+        res = np.hypot(np.nan_to_num(pred_u - uvs[..., 0], nan=np.inf),
+                       np.nan_to_num(pred_v - uvs[..., 1], nan=np.inf))
+        res = np.where(Xc[..., 2] > 1e-6, res, np.inf)
+        weights = np.where(res <= gate_residual, weights, 0.0)
+        weights *= ((weights > 0).sum(-1, keepdims=True) >= 2)
+
     problem = BAProblem(
-        cam_idx=jnp.asarray(np.concatenate(cam_idx), jnp.int32),
-        uv=jnp.asarray(np.concatenate(uvs), jnp.float32),
-        weight=jnp.asarray(np.concatenate(weights), jnp.float32),
+        cam_idx=jnp.asarray(cam_idx, jnp.int32),
+        uv=jnp.asarray(uvs, jnp.float32),
+        weight=jnp.asarray(weights, jnp.float32),
         intrinsics=jnp.asarray(intrinsics_norm[:4], jnp.float32),
     )
     return points, problem
@@ -206,15 +258,37 @@ def build_ba_problem(preds: Dict, R: np.ndarray, t: np.ndarray,
 def chain_sequence(engine, params, images: np.ndarray,
                    intrinsics: Optional[np.ndarray] = None,
                    pose_graph_iterations: int = 10,
-                   run_ba: bool = False, ba_iterations: int = 4,
+                   run_ba: bool = False, ba_iterations: int = 8,
                    ba_points_per_frame: int = 64,
-                   ba_track_length: int = 3
+                   ba_track_length: int = 3,
+                   ba_conf_weighted: bool = False,
+                   ba_gate_residual: Optional[float] = None,
+                   ba_robust_delta: Optional[float] = 0.01,
+                   ba_motion_weight: float = 0.0
                    ) -> Dict[str, np.ndarray]:
     """images [N, H, W, 3] -> optimized trajectory.
 
+    BA robustness: the solver runs IRLS Huber steps with scale
+    `ba_robust_delta` so bad flow tracks lose their quadratic pull on
+    the poses instead of dominating them. Optional extras measured
+    neutral-to-negative on the trained engines (experiments/
+    ba_diagnostic.py, round 5: defaults robust 0.01/8 iters improve ATE
+    by 4.7%/10.2% over the pose graph on the round-4/round-3 engines):
+    `ba_conf_weighted` scales observations by the flow head's conf2,
+    `ba_gate_residual` drops tracks whose initial reprojection residual
+    exceeds the threshold (normalized coords).
+
+    `ba_motion_weight` > 0 additionally folds the pose-graph's
+    relative-motion edges into the BA normal equations with that weight
+    (ba.bundle_adjust_sparse motion_edges) — the joint SLAM-backend
+    objective: reprojection refines structure/scale while the network's
+    direct motion measurements keep the poses from being dragged by
+    noisy flow tracks.
+
     Returns dict with R [N, 3, 3], t [N, 3] (world-to-cam, frame 0 =
-    identity, scale of pair 0), per-pair scales, and raw pairwise
-    predictions.
+    identity, scale of pair 0), per-pair scales, raw pairwise
+    predictions, and (with run_ba) per-observation residual diagnostics
+    `ba_res_before`/`ba_res_after` (median + p90 over live observations).
     """
     import jax.numpy as jnp
 
@@ -255,27 +329,49 @@ def chain_sequence(engine, params, images: np.ndarray,
     if run_ba:
         import jax
 
-        from .ba import bundle_adjust_sparse
+        from .ba import bundle_adjust_sparse, reprojection_residuals
 
         # the predicted flow of pair k anchors each sampled depth point in
         # frames k and k+1; joint pose+point refinement over those
         # measurements
         points, problem = build_ba_problem(
-            preds, result["R"][:-1].astype(np.float32),
-            result["t"][:-1].astype(np.float32), scales, intr,
+            preds, result["R"].astype(np.float32),
+            result["t"].astype(np.float32), scales, intr,
             points_per_frame=ba_points_per_frame,
-            track_length=ba_track_length)
+            track_length=ba_track_length,
+            conf_weighted=ba_conf_weighted,
+            gate_residual=ba_gate_residual)
         # dense Schur solve up to a few hundred cameras; matrix-free
         # block-Jacobi PCG beyond (the [6N,6N] factorization stops being
         # the right tool around N~500)
         solver = "dense" if n <= 500 else "cg"
+        R0 = jnp.asarray(result["R"], jnp.float32)
+        t0 = jnp.asarray(result["t"], jnp.float32)
+        X0 = jnp.asarray(points)
+
+        def _res_stats(R_, t_, X_):
+            r = np.asarray(reprojection_residuals(R_, t_, X_, problem))
+            live = np.asarray(problem.weight) > 0
+            r = r[live]
+            if r.size == 0:
+                return {"median": float("nan"), "p90": float("nan"),
+                        "n_live": 0}
+            return {"median": float(np.median(r)),
+                    "p90": float(np.percentile(r, 90)),
+                    "n_live": int(live.sum())}
+
+        motion = None
+        if ba_motion_weight > 0:
+            motion = edges._replace(
+                weight=jnp.full(n - 1, ba_motion_weight, jnp.float32))
+        result["ba_res_before"] = _res_stats(R0, t0, X0)
         R_ba, t_ba, X_ba, ba_costs = jax.jit(
             lambda R, t, X: bundle_adjust_sparse(
                 R, t, X, problem, iterations=ba_iterations,
-                solver=solver, cg_iters=30 * 6)
-        )(jnp.asarray(result["R"], jnp.float32),
-          jnp.asarray(result["t"], jnp.float32),
-          jnp.asarray(points))
+                solver=solver, cg_iters=30 * 6,
+                robust_delta=ba_robust_delta, motion_edges=motion)
+        )(R0, t0, X0)
+        result["ba_res_after"] = _res_stats(R_ba, t_ba, X_ba)
         result["R"] = np.asarray(R_ba, np.float64)
         result["t"] = np.asarray(t_ba, np.float64)
         result["ba_points"] = np.asarray(X_ba)

@@ -16,6 +16,11 @@ def align_umeyama(estimated: np.ndarray, reference: np.ndarray,
     """
     est = np.asarray(estimated, np.float64)
     ref = np.asarray(reference, np.float64)
+    if not (np.isfinite(est).all() and np.isfinite(ref).all()):
+        # degenerate input (e.g. untrained weights produce NaN poses):
+        # report an identity alignment instead of an SVD crash — the
+        # caller's ATE comes out NaN, which is the honest answer
+        return 1.0, np.eye(3), np.zeros(3)
     mu_e = est.mean(axis=0)
     mu_r = ref.mean(axis=0)
     xe = est - mu_e

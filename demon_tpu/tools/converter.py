@@ -117,8 +117,22 @@ def load_params(ckpt_dir: str) -> Dict:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(ckpt_dir)
+
+    def _upcast(tree):
+        # exports may be stored float16/bfloat16 to halve the artifact
+        # (export_trained_engine.py --dtype); compute wants fp32
+        import jax
+        import jax.numpy as jnp
+
+        def up(a):
+            arr = np.asarray(a)
+            if arr.dtype in (np.dtype(np.float16), jnp.bfloat16.dtype):
+                return arr.astype(np.float32)
+            return a
+        return jax.tree.map(up, tree)
+
     try:
-        return ocp.StandardCheckpointer().restore(path)
+        return _upcast(ocp.StandardCheckpointer().restore(path))
     except ValueError:
         # the checkpoint was saved on a device type absent here (e.g. a
         # TPU-trained export restored on a CPU host): fall back to a raw
@@ -130,8 +144,8 @@ def load_params(ckpt_dir: str) -> Dict:
         tree = getattr(meta, "item_metadata", meta)
         restore_args = jax.tree.map(
             lambda m: ocp.RestoreArgs(restore_type=np.ndarray), tree)
-        return ckptr.restore(
-            path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
+        return _upcast(ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(restore_args=restore_args)))
 
 
 def main():

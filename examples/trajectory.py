@@ -40,6 +40,14 @@ def main():
                     help="flow-chained BA track length (cameras per point)")
     ap.add_argument("--ba", action="store_true",
                     help="run bundle adjustment after the pose graph")
+    ap.add_argument("--ba-robust-delta", type=float, default=0.01,
+                    help="IRLS Huber scale (normalized coords); 0 = plain "
+                         "least squares")
+    ap.add_argument("--ba-motion-weight", type=float, default=0.0,
+                    help="fold the pairwise motion measurements into the "
+                         "BA normal equations with this edge weight "
+                         "(joint reprojection+motion backend)")
+    ap.add_argument("--ba-iterations", type=int, default=8)
     args = ap.parse_args()
 
     if args.synthetic:
@@ -84,7 +92,13 @@ def main():
         params = engine.init(jax.random.key(0))
 
     result = chain_sequence(engine, params, images, run_ba=args.ba,
-                            ba_track_length=args.ba_track_length)
+                            ba_track_length=args.ba_track_length,
+                            ba_iterations=args.ba_iterations,
+                            ba_robust_delta=(args.ba_robust_delta or None),
+                            ba_motion_weight=args.ba_motion_weight)
+    if args.ba:
+        print("BA residuals before/after:", result["ba_res_before"],
+              result["ba_res_after"])
     C = camera_centers(result["R"], result["t"])
     print("trajectory length:",
           float(np.linalg.norm(np.diff(C, axis=0), axis=1).sum()))

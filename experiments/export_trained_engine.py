@@ -24,6 +24,11 @@ def main():
     ap.add_argument("train_dir")
     ap.add_argument("out_dir")
     ap.add_argument("--evolution", default="5_refine")
+    ap.add_argument("--dtype", default=None,
+                    choices=("float32", "float16", "bfloat16"),
+                    help="cast exported params (float16 halves the "
+                         "artifact; loaders upcast to fp32 — advisor "
+                         "round-4: stop doubling the git pack per round)")
     args = ap.parse_args()
 
     from demon_tpu.tools.converter import save_params
@@ -48,8 +53,19 @@ def main():
     trained = ck.restore_params(None)  # untyped restore: params subtree
     ck.close()
     params = engine_params_from_trainer(trained)
+    if args.dtype:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        dt = jnp.dtype(args.dtype)
+        params = jax.tree.map(
+            lambda a: np.asarray(a).astype(dt)
+            if np.issubdtype(np.asarray(a).dtype, np.floating) else a,
+            params)
     save_params(params, args.out_dir)
-    print(f"exported {args.evolution}@{step} -> {args.out_dir}")
+    print(f"exported {args.evolution}@{step} -> {args.out_dir}"
+          + (f" ({args.dtype})" if args.dtype else ""))
 
 
 if __name__ == "__main__":

@@ -205,3 +205,70 @@ def test_ba_multiframe_tracks():
     tp = jnp.einsum("nij,nj->ni", dR, t0) + dt
     _, _, _, costs = ba(Rp, tp, jnp.asarray(points))
     assert float(costs[-1]) < 0.05 * float(costs[0]), costs
+
+
+def test_ba_problem_conf_weighting_and_gating():
+    """conf2 scales chained observation weights (cumulative product of
+    the mean x/y confidence along the chain) and gate_residual zeroes
+    observations that start grossly off, re-applying the 2-obs rule."""
+    from demon_tpu.sfm.chaining import build_ba_problem
+
+    h, w = 24, 32
+    intr = np.array([0.9, 1.1, 0.5, 0.5])
+    plane_z = 4.0
+    positions = [0.0, 0.3, 0.6]
+    n = len(positions)
+    R_gt = np.stack([np.eye(3)] * n)
+    t_gt = np.stack([[-p / 0.3, 0.0, 0.0] for p in positions])
+
+    inv_depths, flows = [], []
+    for k in range(n - 1):
+        depth_k = np.full((h, w), plane_z / 0.3, np.float32)
+        inv_depths.append(1.0 / depth_k)
+        du = intr[0] * (-1.0) / depth_k
+        flows.append(np.stack([du, np.zeros_like(du)], -1).astype(np.float32))
+    preds = {"inv_depth2": np.stack(inv_depths), "flow2": np.stack(flows),
+             "conf2": np.full((n - 1, h, w, 2), 0.5, np.float32)}
+    pair_scales = np.ones(n - 1)
+
+    # conf off: chained obs weights are 0/1
+    _, plain = build_ba_problem(
+        preds, R_gt.astype(np.float32), t_gt.astype(np.float32),
+        pair_scales, intr, points_per_frame=48, conf_weighted=False)
+    w_plain = np.asarray(plain.weight)
+    assert set(np.unique(w_plain)) <= {0.0, 1.0}
+
+    # conf on: chained obs carry ~0.5 weight, anchors stay 1
+    _, conf = build_ba_problem(
+        preds, R_gt.astype(np.float32), t_gt.astype(np.float32),
+        pair_scales, intr, points_per_frame=48, conf_weighted=True)
+    w_conf = np.asarray(conf.weight)
+    live = w_plain > 0
+    anchors = live & (np.arange(w_plain.shape[1])[None] == 0)
+    chained = live & ~anchors
+    assert np.allclose(w_conf[anchors], 1.0)
+    assert np.allclose(w_conf[chained], 0.5, atol=1e-5)
+
+    # gating: consistent geometry -> nothing gated at a sane threshold
+    _, gated = build_ba_problem(
+        preds, R_gt.astype(np.float32), t_gt.astype(np.float32),
+        pair_scales, intr, points_per_frame=48, conf_weighted=False,
+        gate_residual=0.05)
+    assert np.array_equal(np.asarray(gated.weight) > 0, w_plain > 0)
+
+    # corrupt pair-1 flow so chained obs of frame-1 points start far off:
+    # those observations must be gated and their 1-obs tracks killed
+    bad = dict(preds)
+    bad_flows = preds["flow2"].copy()
+    bad_flows[1] += 0.4
+    bad["flow2"] = bad_flows
+    _, gated_bad = build_ba_problem(
+        bad, R_gt.astype(np.float32), t_gt.astype(np.float32),
+        pair_scales, intr, points_per_frame=48, conf_weighted=False,
+        gate_residual=0.05)
+    w_bad = np.asarray(gated_bad.weight)
+    # frame-1 seeded tracks chain through the corrupted flow -> dead
+    n_seed = w_plain.shape[0] // (n - 1)
+    assert (w_bad[n_seed:] == 0).all()
+    # frame-0 seeded tracks (chained through the good pair-0 flow) live
+    assert (w_bad[:n_seed] > 0).any()

@@ -50,13 +50,16 @@ def run_script_cpu(script, *argv, timeout=1200):
 
 @pytest.fixture(scope="module")
 def release_dir(tmp_path_factory):
-    """Fabricated release artifacts: weights tgz + sun3d test tgz + md5
-    manifest (tools/fabricate_release)."""
+    """Fabricated release artifacts: weights tgz + two test-set tgzs +
+    md5 manifest (tools/fabricate_release) — two datasets so the drill
+    exercises the multi-dataset loop of the download/eval scripts."""
     out = str(tmp_path_factory.mktemp("release"))
     run_script_cpu("demon_tpu.tools.fabricate_release",
-                   "--out-dir", out, "--datasets", "sun3d", "--scenes", "2")
+                   "--out-dir", out, "--datasets", "sun3d", "rgbd",
+                   "--scenes", "2")
     assert os.path.isfile(os.path.join(out, "demon_original_weights.tgz"))
     assert os.path.isfile(os.path.join(out, "sun3d_test.tgz"))
+    assert os.path.isfile(os.path.join(out, "rgbd_test.tgz"))
     assert os.path.isfile(os.path.join(out, "manifest.json"))
     return out
 
@@ -74,7 +77,7 @@ def test_release_ingestion_drill(release_dir, tmp_path):
     r = subprocess.run(
         ["make", "egress-day",
          f"PY={sys.executable} tests/_cpu_runner.py",
-         "DATASETS=sun3d",
+         "DATASETS=sun3d rgbd",
          f"DATA_DIR={data_dir}",
          f"WEIGHTS_DIR={wdir}",
          f"EVAL_DIR={eval_dir}",
@@ -95,16 +98,20 @@ def test_release_ingestion_drill(release_dir, tmp_path):
             f"--- stderr ---\n{r.stderr[-4000:]}")
     out = r.stdout
 
-    # 1. test-set download + md5 verification + untar
+    # 1. test-set download + md5 verification + untar (both datasets)
     assert "sun3d_test.h5 ready" in out
+    assert "rgbd_test.h5 ready" in out
     assert os.path.isfile(os.path.join(data_dir, "sun3d_test.h5"))
+    assert os.path.isfile(os.path.join(data_dir, "rgbd_test.h5"))
     # 2. weights download + untar + bundle read + convert + verify
     assert "converted weights saved" in out
     assert os.path.isdir(os.path.join(wdir, "demon_tpu_v1"))
-    # 3. the full reference-protocol evaluation app, untouched
-    assert os.path.isfile(os.path.join(eval_dir, "sun3d_eval.json"))
-    assert os.path.isfile(
-        os.path.join(eval_dir, "sun3d_eval_crop_allpix.json"))
+    # 3. the full reference-protocol evaluation app, untouched — the
+    # W>1 mp-reader path runs per dataset (EVAL_FLAGS above)
+    for ds in ("sun3d", "rgbd"):
+        assert os.path.isfile(os.path.join(eval_dir, f"{ds}_eval.json"))
+        assert os.path.isfile(
+            os.path.join(eval_dir, f"{ds}_eval_crop_allpix.json"))
     # the paper metrics printed at the reference report points
     assert "depth depth_l1_inverse:" in out
     assert "motion rot_err:" in out

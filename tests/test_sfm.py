@@ -333,3 +333,46 @@ def test_bundle_adjust_cg_1000_cameras():
     err0 = float(np.sqrt(np.mean((np.asarray(t0) - np.asarray(t_gt)) ** 2)))
     err1 = float(np.sqrt(np.mean((np.asarray(t_o) - np.asarray(t_gt)) ** 2)))
     assert err1 < 0.3 * err0, (err0, err1)
+
+
+def test_bundle_adjust_robust_rejects_outlier():
+    """One gross-outlier observation: plain GN drags the cameras off the
+    ground truth; IRLS-Huber (robust_delta) recovers them."""
+    from demon_tpu.sfm.ba import bundle_adjust_sparse
+
+    rng = np.random.RandomState(11)
+    R_gt, t_gt, X_gt, intr, problem = _make_ba_problem(rng)
+    n = R_gt.shape[0]
+
+    # corrupt one observation by half the image width
+    uv = np.asarray(problem.uv).copy()
+    uv[0, 1, 0] += 0.5
+    problem = problem._replace(uv=jnp.asarray(uv))
+
+    xi_n = rng.randn(n, 6) * 0.02
+    xi_n[0] = 0
+    dR, dt = se3_exp(jnp.asarray(xi_n))
+    R0, t0 = se3_compose(dR, dt, R_gt, t_gt)
+    X0 = X_gt + jnp.asarray(rng.randn(*X_gt.shape) * 0.05)
+
+    run = lambda delta: bundle_adjust_sparse(
+        R0, t0, X0, problem, iterations=8, robust_delta=delta)
+    R_plain, t_plain, _, _ = jax.jit(lambda: run(None))()
+    R_rob, t_rob, _, _ = jax.jit(lambda: run(0.02))()
+
+    err = lambda tt: float(jnp.abs(tt - t_gt).max())
+    rerr = lambda RR: float(jnp.abs(RR - R_gt).max())
+    assert err(t_rob) < err(t_plain) * 0.5, (err(t_rob), err(t_plain))
+    assert rerr(R_rob) < rerr(R_plain) * 0.5, (rerr(R_rob), rerr(R_plain))
+    np.testing.assert_allclose(np.asarray(R_rob), np.asarray(R_gt),
+                               atol=1e-2)
+
+
+def test_reprojection_residuals_shape_and_zero_at_gt():
+    from demon_tpu.sfm.ba import reprojection_residuals
+
+    rng = np.random.RandomState(12)
+    R_gt, t_gt, X_gt, intr, problem = _make_ba_problem(rng)
+    res = np.asarray(reprojection_residuals(R_gt, t_gt, X_gt, problem))
+    assert res.shape == problem.uv.shape[:2]
+    assert res.max() < 1e-6

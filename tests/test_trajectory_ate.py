@@ -29,11 +29,12 @@ pytestmark = pytest.mark.skipif(
            "checkpoint (experiments/export_trained_engine.py)")
 
 # thresholds: the synthetic 30-frame trajectory at seed 0; ~1.5x above
-# the round-4 trained-artifact measurement (pose-graph 0.467, +BA 0.483
-# on the convergence_r4 engine — BENCHMARKS.md; round 3 measured
-# 0.512/0.501) so regressions trip while run-to-run noise does not
+# the round-5 trained-artifact measurements (robust-BA defaults improve
+# on the pose graph: r4 engine 0.467 -> 0.445, r3 engine 0.524 -> 0.471
+# — experiments/ba_diag_r{3,4}_focused.json) so regressions trip while
+# run-to-run noise does not
 ATE_POSE_GRAPH_MAX = float(os.environ.get("DEMON_ATE_PG_MAX", "0.72"))
-ATE_BA_MAX = float(os.environ.get("DEMON_ATE_BA_MAX", "0.75"))
+ATE_BA_MAX = float(os.environ.get("DEMON_ATE_BA_MAX", "0.70"))
 
 
 @pytest.fixture(scope="module")
@@ -84,11 +85,17 @@ def test_pose_graph_ate_threshold(trajectory, params):
     assert ate < ATE_POSE_GRAPH_MAX
 
 
-def test_ba_improves_or_holds_ate(trajectory, params):
+def test_ba_improves_ate(trajectory, params):
+    """BA's purpose is to IMPROVE trajectories (BASELINE.json config 4):
+    with the round-5 robust defaults (IRLS Huber delta 0.01, 8 GN
+    iterations) +BA beats the pose graph on both trained engines —
+    assert improvement, not merely 'no material degradation' (VERDICT
+    round-4 weak #3)."""
     images, gt = trajectory
     ate_pg = _ate(images, gt, params, run_ba=False)
     ate_ba = _ate(images, gt, params, run_ba=True)
     print(f"ATE pose-graph {ate_pg:.4f} -> +BA {ate_ba:.4f}")
     assert ate_ba < ATE_BA_MAX
-    # BA must not make the trajectory materially worse
-    assert ate_ba <= ate_pg * 1.1 + 1e-3
+    assert ate_ba <= ate_pg + 1e-3, (
+        f"+BA ({ate_ba:.4f}) must improve on the pose graph "
+        f"({ate_pg:.4f})")
