@@ -357,6 +357,11 @@ def main():
     ap.add_argument("--_train-until", type=int, default=None,
                     help=argparse.SUPPRESS)
     ap.add_argument("--eval-every-evo", action="store_true", default=True)
+    ap.add_argument("--stop-after-evo", default=None, metavar="EVO",
+                    help="finish after evaluating this evolution (e.g. "
+                         "'1_dm1' for bootstrap-only seed checks — the "
+                         "bootstrap nets are fully trained after "
+                         "evolutions 0+1)")
     args = ap.parse_args()
 
     _enable_compilation_cache()
@@ -543,11 +548,17 @@ def main():
                                    and "4_iterative_freshmix" not in results):
             print(f"=== evolution {evo}: already evaluated, skipping ===",
                   flush=True)
+            if args.stop_after_evo == evo:
+                print(f"--stop-after-evo {evo}: stopping", flush=True)
+                break
             continue
         print(f"\n=== evolution {evo} ({cap} steps) ===", flush=True)
         results[evo], params = train_and_eval(driver, args, evo, cap)
         print(json.dumps(results[evo], indent=1), flush=True)
         _save()
+        if args.stop_after_evo == evo:
+            print(f"--stop-after-evo {evo}: stopping", flush=True)
+            break
 
         if evo == "4_iterative" and args.evo4_ablation:
             # fork: re-train evolution 4 from the same 3_dm2 snapshot with
