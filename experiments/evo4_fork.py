@@ -36,13 +36,21 @@ def main():
     ap.add_argument("--steps", type=int, required=True)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--batch-iterative", type=int, default=8)
+    ap.add_argument("--eval-batch", type=int, default=16)
     ap.add_argument("--base-lr", type=float, default=None,
                     help="override evo-4 base LR (default: reference "
                          "1.5e-4)")
     ap.add_argument("--replay", default="recycled",
                     choices=("recycled", "fresh"))
     ap.add_argument("--from-dir", default="training",
-                    help="train dir to fork 3_dm2 from")
+                    help="train dir to fork the snapshot from")
+    ap.add_argument("--evolution", default="4_iterative",
+                    help="evolution to (re)train in the fork (e.g. "
+                         "5_refine to retrain refinement against an "
+                         "alternative evo-4 leg)")
+    ap.add_argument("--from-evo", default="3_dm2",
+                    help="evolution snapshot to fork (the warm-start "
+                         "source; 4_iterative when retraining 5_refine)")
     ap.add_argument("--chunk", type=int, default=0,
                     help="train in child processes of at most N steps "
                          "each (resuming from recovery snapshots) — the "
@@ -65,6 +73,8 @@ def main():
                    "--steps", str(args.steps), "--batch", str(args.batch),
                    "--batch-iterative", str(args.batch_iterative),
                    "--replay", args.replay, "--from-dir", args.from_dir,
+                   "--evolution", args.evolution,
+                   "--from-evo", args.from_evo,
                    "--_until", str(target)]
             if args.base_lr is not None:
                 cmd += ["--base-lr", str(args.base_lr)]
@@ -90,10 +100,10 @@ def main():
     from demon_tpu.train.driver import TrainingDriver
     from demon_tpu.train.trainer import EVOLUTIONS, TrainConfig
 
-    # fork the 3_dm2 snapshot
-    src = os.path.join(args.out, args.from_dir, "3_dm2")
+    # fork the warm-start snapshot
+    src = os.path.join(args.out, args.from_dir, args.from_evo)
     dst_dir = os.path.join(args.out, args.name)
-    dst = os.path.join(dst_dir, "3_dm2")
+    dst = os.path.join(dst_dir, args.from_evo)
     if not os.path.exists(dst):
         os.makedirs(dst_dir, exist_ok=True)
         shutil.copytree(src, dst)
@@ -125,7 +135,8 @@ def main():
                    for b in bins]
 
     steps_map = dict(zip(EVOLUTIONS, [6000, 5000, 2500, 2500,
-                                      args.steps, 1500]))
+                                      12000, 1500]))
+    steps_map[args.evolution] = args.steps
     cfg = TrainConfig(batch_size=args.batch,
                       batch_size_iterative=args.batch_iterative,
                       replay_recycled=(args.replay == "recycled"),
@@ -145,29 +156,31 @@ def main():
         # chunk child: train a bounded leg (resumes from the latest
         # recovery snapshot) and exit without evaluating
         driver.max_steps = args._until
-        driver.run_evolution("4_iterative")
+        driver.run_evolution(args.evolution)
         return
     if args.chunk:
         # chunked parent: training already done in children — restore
         from demon_tpu.train.checkpoint import EvolutionCheckpointer
 
-        ck = EvolutionCheckpointer(dst_dir, "4_iterative")
+        ck = EvolutionCheckpointer(dst_dir, args.evolution)
         params = ck.restore_params(None)
         ck.close()
     else:
         driver.max_steps = args.steps
-        out = driver.run_evolution("4_iterative")
+        out = driver.run_evolution(args.evolution)
         params = out["params"]
         final_loss = out["metrics"].get("total_loss")
 
     engine = DemonEngine(variant=cfg.variant, iterations=3)
     test_h5 = os.path.join(args.out, "synthetic_test.h5")
-    res = evaluate_params(engine, params, test_h5, batch_size=16)
+    res = evaluate_params(engine, params, test_h5,
+                          batch_size=args.eval_batch)
     res["final_loss"] = final_loss
     res["steps"] = args.steps
     res["replay"] = args.replay
     res["base_lr"] = args.base_lr
-    path = os.path.join(dst_dir, "eval_4_iterative.json")
+    res["evolution"] = args.evolution
+    path = os.path.join(dst_dir, f"eval_{args.evolution}.json")
     with open(path, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps({k: v for k, v in res.items()
