@@ -39,8 +39,16 @@ def main():
                          "when --platform cpu + "
                          "xla_force_host_platform_device_count)")
     ap.add_argument("--points-per-frame", type=int, default=64)
+    ap.add_argument("--robust", default="0.01",
+                    help="robust_delta: a float, or 'auto'/'auto:K' "
+                         "(per-iteration Huber scale = K x median live "
+                         "residual)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    try:
+        robust = float(args.robust)
+    except ValueError:
+        robust = args.robust
 
     if args.platform:
         import jax
@@ -153,7 +161,7 @@ def main():
                          bundle_adjust_sparse(
                              R, t, X, problem, iterations=8,
                              solver=solver, cg_iters=180,
-                             robust_delta=0.01))
+                             robust_delta=robust))
             R_ba, t_ba, X_ba, _ = ba(R0, t0j, X0)  # compile
             jax.block_until_ready(t_ba)
             t0 = time.perf_counter()
@@ -188,7 +196,7 @@ def main():
                     lambda R, t, X, c, u, ww: bundle_adjust_sparse(
                         R, t, X, BAProblem(c, u, ww, problem.intrinsics),
                         iterations=8, solver="cg", cg_iters=180,
-                        robust_delta=0.01, axis_name="pts"),
+                        robust_delta=robust, axis_name="pts"),
                     mesh=mesh,
                     in_specs=(P(), P(), P("pts"), P("pts"), P("pts"),
                               P("pts")),
